@@ -1,0 +1,269 @@
+"""Codec frames: self-describing encoded column chunks.
+
+A *frame* is the binary encoding of one column of one row chunk
+(north_star, BASELINE.json: "binary struct columns with per-chunk codec
+tags, symbol tables, and frame headers"). Frames are produced/consumed
+entirely with numpy/pyarrow buffer operations — no per-value Python.
+
+Frame layout::
+
+    uint8  version (=1)
+    uint8  codec tag
+    uint8  len(dtype string); dtype string utf8   # original arrow type
+    uint32 n values
+    uint32 null count
+    [validity bitmap, ceil(n/8) bytes, iff null count > 0]
+    [codec body]
+
+Codec spec mini-language (the string recorded per chunk in the chunks
+table, e.g. ``dict:fsst+z``):
+
+    ints   : plain | for | rle
+    floats : plain
+    bools  : plain (1-bit packed)
+    strings: plain | fsst | dict:<values spec> | rledict:<values spec>
+    suffix : +z  — zlib-wrap the codec body (transport layer, as Parquet
+             pairs its encodings with GZIP; the reference's baseline format
+             is GZIP parquet with dictionary DISABLED,
+             OneRowParquetSchema.java:104-110)
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import bitpack, foref, fsst, rle, vec
+
+# codec tags
+T_PLAIN_INT = 1
+T_FOR = 2
+T_RLE_INT = 3
+T_PLAIN_STR = 4
+T_DICT = 5
+T_RLE_DICT = 6
+T_FSST = 7
+T_PLAIN_FLOAT = 8
+T_BOOL = 9
+T_ZLIB = 10
+
+_U32 = struct.Struct("<I")
+_ZLIB_LEVEL = 6
+
+
+# ---------------------------------------------------------------- int bodies
+
+def _enc_int(vals: np.ndarray, spec: str) -> tuple[int, bytes]:
+    if spec == "plain":
+        return T_PLAIN_INT, np.ascontiguousarray(vals, dtype=np.int64).tobytes()
+    if spec == "for":
+        return T_FOR, foref.encode(vals)
+    if spec == "rle":
+        return T_RLE_INT, rle.encode(vals)
+    raise ValueError(f"unknown int codec {spec!r}")
+
+
+def _dec_int(tag: int, body: bytes, n: int) -> np.ndarray:
+    if tag == T_PLAIN_INT:
+        return np.frombuffer(body, dtype=np.int64, count=n).copy()
+    if tag == T_FOR:
+        return foref.decode(body, n)
+    if tag == T_RLE_INT:
+        return rle.decode(body)
+    raise ValueError(f"bad int tag {tag}")
+
+
+# ------------------------------------------------------------- string bodies
+
+def _lengths_block(lengths: np.ndarray) -> bytes:
+    b = foref.encode(lengths)
+    return _U32.pack(len(b)) + b
+
+
+def _read_lengths_block(body: bytes, n: int) -> tuple[np.ndarray, int]:
+    (blen,) = _U32.unpack_from(body, 0)
+    lengths = foref.decode(body[4 : 4 + blen], n)
+    return lengths, 4 + blen
+
+
+def _enc_plain_str(lengths: np.ndarray, blob: bytes) -> bytes:
+    return _lengths_block(lengths) + blob
+
+
+def _dec_plain_str(body: bytes, n: int) -> tuple[np.ndarray, bytes]:
+    lengths, off = _read_lengths_block(body, n)
+    return lengths, body[off:]
+
+
+def _enc_fsst(lengths: np.ndarray, blob: bytes) -> bytes:
+    merges = fsst.train(blob)
+    enc = fsst.compress(blob, merges) if merges else blob
+    return _lengths_block(lengths) + fsst.serialize_table(merges) + enc
+
+
+def _dec_fsst(body: bytes, n: int) -> tuple[np.ndarray, bytes]:
+    lengths, off = _read_lengths_block(body, n)
+    merges, used = fsst.deserialize_table(body[off:])
+    blob = fsst.decompress(body[off + used :], merges)
+    return lengths, blob
+
+
+def _dict_parts(arr: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """(codes int64, dictionary values array) — nulls already filled."""
+    d = pc.dictionary_encode(arr)
+    codes = d.indices.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+    return codes, d.dictionary
+
+
+def _enc_dict(arr: pa.Array, values_spec: str, use_rle: bool) -> tuple[int, bytes]:
+    codes, dictvals = _dict_parts(arr)
+    codes_body = rle.encode(codes) if use_rle else foref.encode(codes)
+    sub = encode_array(dictvals.cast(pa.large_string()) if pa.types.is_string(dictvals.type) else dictvals, values_spec)
+    return (
+        (T_RLE_DICT if use_rle else T_DICT),
+        _U32.pack(len(codes_body)) + codes_body + sub,
+    )
+
+
+def _dec_dict(tag: int, body: bytes, n: int) -> pa.Array:
+    (clen,) = _U32.unpack_from(body, 0)
+    codes_body = body[4 : 4 + clen]
+    codes = rle.decode(codes_body) if tag == T_RLE_DICT else foref.decode(codes_body, n)
+    dictvals = decode_array(body[4 + clen :])
+    return pc.take(dictvals, pa.array(codes, type=pa.int64()))
+
+
+# ------------------------------------------------------------------- frames
+
+def encode_array(arr: pa.Array, spec: str) -> bytes:
+    """Encode one pyarrow Array into a self-describing frame."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    typ = arr.type
+    kind = vec.kind_of(typ)
+    n = len(arr)
+    valid, null_count = vec.validity_of(arr)
+
+    use_z = spec.endswith("+z")
+    base_spec = spec[:-2] if use_z else spec
+
+    if kind in (vec.KIND_INT, vec.KIND_BOOL):
+        vals = vec.ints_to_numpy(arr)
+        if kind == vec.KIND_BOOL and base_spec == "plain":
+            tag, body = T_BOOL, bitpack.pack(vals.astype(np.uint64), 1)
+        else:
+            tag, body = _enc_int(vals, base_spec if base_spec != "auto" else "for")
+    elif kind == vec.KIND_FLOAT:
+        tag, body = T_PLAIN_FLOAT, vec.floats_to_bytes(arr)
+    else:  # strings
+        fill = b"" if pa.types.is_binary(typ) or pa.types.is_large_binary(typ) else ""
+        filled = arr.fill_null(fill) if arr.null_count else arr
+        if base_spec == "plain":
+            lengths, blob = vec.string_parts(filled)
+            tag, body = T_PLAIN_STR, _enc_plain_str(lengths, blob)
+        elif base_spec == "fsst":
+            lengths, blob = vec.string_parts(filled)
+            tag, body = T_FSST, _enc_fsst(lengths, blob)
+        elif base_spec.startswith("dict"):
+            inner = base_spec.split(":", 1)[1] if ":" in base_spec else "plain"
+            tag, body = _enc_dict(filled, inner, use_rle=False)
+        elif base_spec.startswith("rledict"):
+            inner = base_spec.split(":", 1)[1] if ":" in base_spec else "plain"
+            tag, body = _enc_dict(filled, inner, use_rle=True)
+        else:
+            raise ValueError(f"unknown string codec {base_spec!r}")
+
+    if use_z:
+        body = bytes((tag,)) + zlib.compress(body, _ZLIB_LEVEL)
+        tag = T_ZLIB
+
+    ds = vec.dtype_str(typ).encode()
+    hdr = bytes((1, tag, len(ds))) + ds + _U32.pack(n) + _U32.pack(null_count)
+    if null_count:
+        hdr += vec.pack_validity(valid)
+    return hdr + body
+
+
+def decode_array(frame: bytes) -> pa.Array:
+    """Inverse of :func:`encode_array` — bit-identical reconstruction."""
+    ver, tag, dlen = frame[0], frame[1], frame[2]
+    assert ver == 1, f"bad frame version {ver}"
+    off = 3
+    typ = vec.dtype_from_str(frame[off : off + dlen].decode())
+    off += dlen
+    (n,) = _U32.unpack_from(frame, off)
+    (null_count,) = _U32.unpack_from(frame, off + 4)
+    off += 8
+    valid = None
+    if null_count:
+        nbytes = (n + 7) // 8
+        valid = vec.unpack_validity(frame[off : off + nbytes], n)
+        off += nbytes
+    body = frame[off:]
+
+    if tag == T_ZLIB:
+        tag = body[0]
+        body = zlib.decompress(body[1:])
+
+    kind = vec.kind_of(typ)
+    if tag == T_BOOL:
+        vals = bitpack.unpack(body, n, 1).astype(np.int64)
+        return vec.ints_from_numpy(vals, typ, valid)
+    if tag in (T_PLAIN_INT, T_FOR, T_RLE_INT):
+        return vec.ints_from_numpy(_dec_int(tag, body, n), typ, valid)
+    if tag == T_PLAIN_FLOAT:
+        return vec.floats_from_bytes(body, typ, n, valid)
+    if tag == T_PLAIN_STR:
+        lengths, blob = _dec_plain_str(body, n)
+        return vec.strings_from_parts(lengths, blob, typ, valid)
+    if tag == T_FSST:
+        lengths, blob = _dec_fsst(body, n)
+        return vec.strings_from_parts(lengths, blob, typ, valid)
+    if tag in (T_DICT, T_RLE_DICT):
+        out = _dec_dict(tag, body, n)
+        if valid is not None:
+            out = pc.if_else(pa.array(valid), out, pa.scalar(None, type=out.type))
+        return out.cast(typ) if out.type != typ else out
+    raise ValueError(f"bad frame tag {tag}")
+
+
+def _body_offset(frame: bytes) -> int:
+    dlen = frame[2]
+    off = 3 + dlen
+    (n,) = _U32.unpack_from(frame, off)
+    (null_count,) = _U32.unpack_from(frame, off + 4)
+    off += 8
+    if null_count:
+        off += (n + 7) // 8
+    return off
+
+
+def wrap_zlib(frame: bytes, level: int = _ZLIB_LEVEL) -> bytes:
+    """Re-wrap an existing frame's body in the zlib transport layer without
+    re-running the inner codec (used by the selector's +z trial)."""
+    tag = frame[1]
+    if tag == T_ZLIB:
+        return frame
+    off = _body_offset(frame)
+    body = bytes((tag,)) + zlib.compress(frame[off:], level)
+    return frame[:1] + bytes((T_ZLIB,)) + frame[2:off] + body
+
+
+def raw_size(arr: pa.Array) -> int:
+    """Logical (uncompressed) byte size of a column vector — the numerator
+    of compression ratio and of encode throughput (BASELINE.md protocol)."""
+    kind = vec.kind_of(arr.type)
+    n = len(arr)
+    if kind == vec.KIND_STRING:
+        filled = arr.fill_null("") if arr.null_count else arr
+        lengths, _ = vec.string_parts(filled)
+        return int(lengths.sum()) + 4 * n
+    if kind == vec.KIND_FLOAT:
+        return n * (4 if pa.types.is_float32(arr.type) else 8)
+    if kind == vec.KIND_BOOL:
+        return n
+    return n * 8

@@ -1,0 +1,152 @@
+"""Sampling-based codec auto-selection (north_star, BASELINE.json).
+
+For each column chunk the selector computes cheap statistics on a
+deterministic stride sample — cardinality, run count, value range, average
+string length, trial symbol-table / deflate ratios — then estimates the
+encoded size under each applicable codec and picks the minimum. The chosen
+codec is recorded per chunk in the chunks table (the per-chunk codec tag).
+
+Replaces the reference's single hard-wired configuration (GZIP parquet,
+dictionary disabled — OneRowParquetSchema.java:104-110): instead of one
+global choice, each column chunk gets the codec its own data favors
+(FSST/dict for path-like and content-like text, RLE/dict for
+low-cardinality repo/lang/commit — as the north_star prescribes).
+
+Determinism: the sample is a fixed stride slice, so the same chunk always
+selects the same codec (required for exact resume idempotency).
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import bitpack, encode_array, foref, fsst, rle, vec
+
+_SAMPLE_VALUES = 4096       # max values sampled per chunk
+_ZLIB_TRIAL = 1 << 16       # bytes of blob used in the deflate trial
+_ZLIB_KEEP = 0.9            # keep +z layer only if it saves >10%
+
+
+@dataclass
+class ColumnStats:
+    """Sampled statistics driving the codec choice (also exported to the
+    lineage/metrics table so choices are auditable)."""
+    n: int
+    kind: str
+    ndv_ratio: float = 1.0
+    run_ratio: float = 1.0        # runs / values (1.0 = no runs)
+    avg_len: float = 0.0
+    value_range: int = 0
+    fsst_ratio: float = 1.0       # trial symbol-table compression on sample
+    zlib_ratio: float = 1.0
+
+
+def _sample(arr: pa.Array) -> pa.Array:
+    n = len(arr)
+    if n <= _SAMPLE_VALUES:
+        return arr
+    step = n // _SAMPLE_VALUES
+    return arr.take(pa.array(np.arange(0, n, step, dtype=np.int64)[:_SAMPLE_VALUES]))
+
+
+def analyze(arr: pa.Array) -> ColumnStats:
+    kind = vec.kind_of(arr.type)
+    n = len(arr)
+    st = ColumnStats(n=n, kind=kind)
+    if n == 0:
+        return st
+    s = _sample(arr)
+    sn = len(s)
+    if kind in (vec.KIND_INT, vec.KIND_BOOL):
+        vals = vec.ints_to_numpy(s)
+        st.ndv_ratio = len(np.unique(vals)) / sn
+        st.run_ratio = rle.count_runs(vals) / sn
+        st.value_range = int(vals.max() - vals.min()) if sn else 0
+    elif kind == vec.KIND_STRING:
+        filled = s.fill_null("") if s.null_count else s
+        lengths, blob = vec.string_parts(filled)
+        st.avg_len = float(lengths.mean()) if sn else 0.0
+        st.ndv_ratio = len(pc.unique(filled)) / sn
+        codes = pc.dictionary_encode(filled).indices.to_numpy(zero_copy_only=False)
+        st.run_ratio = rle.count_runs(codes.astype(np.int64)) / sn
+        trial = blob[:_ZLIB_TRIAL]
+        if len(trial) >= 256:
+            merges = fsst.train(trial, max_merges=64)
+            if merges:
+                st.fsst_ratio = len(fsst.compress(trial, merges)) / len(trial)
+            st.zlib_ratio = len(zlib.compress(trial, 1)) / len(trial)
+    else:  # floats
+        st.ndv_ratio = 1.0
+    return st
+
+
+def choose(arr: pa.Array, stats: ColumnStats | None = None) -> str:
+    """Pick a codec spec (see codecs.__init__ mini-language) for one chunk."""
+    st = stats or analyze(arr)
+    if st.n == 0:
+        return "plain"
+    if st.kind in (vec.KIND_INT, vec.KIND_BOOL):
+        if st.kind == vec.KIND_BOOL:
+            return "plain"
+        n = st.n
+        plain_sz = 8 * n
+        for_sz = foref.encoded_size(n, st.value_range)
+        runs = max(1, int(st.run_ratio * n))
+        rle_sz = runs * (foref.encoded_size(1, st.value_range) + 2)
+        best = min((for_sz, "for"), (rle_sz, "rle"), (plain_sz, "plain"))
+        return best[1]
+    if st.kind == vec.KIND_FLOAT:
+        # deflate trial decided at encode time via the +z fallback below
+        return "plain+z"
+    # strings
+    n = st.n
+    ndv = max(1, int(st.ndv_ratio * n))
+    runs = max(1, int(st.run_ratio * n))
+    code_bits = max(1, bitpack.bit_width(ndv - 1))
+    dict_payload = ndv * (st.avg_len + 1.0)
+    plain_sz = n * st.avg_len
+    dict_sz = dict_payload * min(st.fsst_ratio, 1.0) + n * code_bits / 8
+    rledict_sz = dict_payload * min(st.fsst_ratio, 1.0) + runs * (code_bits / 8 + 2)
+    fsst_sz = n * st.avg_len * st.fsst_ratio + 600
+    zlib_sz = n * st.avg_len * st.zlib_ratio + n * 0.5
+
+    inner = "fsst" if st.fsst_ratio < 0.85 and dict_payload > 4096 else "plain"
+    candidates = [
+        (plain_sz, "plain"),
+        (dict_sz, f"dict:{inner}"),
+        (rledict_sz, f"rledict:{inner}"),
+        (fsst_sz, "fsst"),
+        (zlib_sz, "plain+z"),
+    ]
+    best = min(candidates)
+    return best[1]
+
+
+def encode_best(arr: pa.Array, spec: str | None = None) -> tuple[str, bytes]:
+    """Encode with the chosen (or given) spec; additionally trial a zlib
+    transport layer on the body and keep it when it saves >10%.
+
+    Guarantee: never pathologically worse than plain — if the chosen frame
+    exceeds the plain frame, fall back to plain.
+    """
+    from . import raw_size, wrap_zlib
+
+    chosen = spec or choose(arr)
+    frame = encode_array(arr, chosen)
+    if not chosen.endswith("+z") and len(frame) > 4096:
+        # cheap sliced trial first; full +z wrap only if promising
+        trial = frame[: _ZLIB_TRIAL]
+        if len(zlib.compress(trial, 1)) < _ZLIB_KEEP * len(trial):
+            z = wrap_zlib(frame)
+            if len(z) < _ZLIB_KEEP * len(frame):
+                chosen, frame = chosen + "+z", z
+    if not chosen.startswith("plain") and len(frame) > raw_size(arr):
+        plain = encode_array(arr, "plain")
+        if len(plain) < len(frame):
+            chosen, frame = "plain", plain
+    return chosen, frame

@@ -1,0 +1,198 @@
+"""Codec unit tests: encode∘decode = identity on every edge case
+(SURVEY.md §5.2-1). Pure numpy/pyarrow — no Spark session needed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet2csv_spark.codecs import (
+    bitpack,
+    decode_array,
+    encode_array,
+    foref,
+    fsst,
+    raw_size,
+    rle,
+    selector,
+)
+
+# ------------------------------------------------------------------ bitpack
+
+@pytest.mark.parametrize("width", [0, 1, 3, 7, 8, 13, 31, 33, 63, 64])
+def test_bitpack_roundtrip(width):
+    rng = np.random.default_rng(42)
+    hi = (1 << width) if width < 64 else (1 << 64)
+    vals = rng.integers(0, hi, size=1000, dtype=np.uint64) if width else np.zeros(1000, np.uint64)
+    assert np.array_equal(bitpack.unpack(bitpack.pack(vals, width), 1000, width), vals)
+
+
+def test_bitpack_empty():
+    assert bitpack.pack(np.zeros(0, np.uint64), 5) == b""
+    assert len(bitpack.unpack(b"", 0, 5)) == 0
+
+
+# --------------------------------------------------------------------- foref
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        np.array([], dtype=np.int64),
+        np.array([0], dtype=np.int64),
+        np.array([7, 7, 7, 7], dtype=np.int64),
+        np.array([-5, 3, -2, 100], dtype=np.int64),
+        np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max], dtype=np.int64),
+        np.arange(-500, 500, dtype=np.int64),
+    ],
+)
+def test_foref_roundtrip(vals):
+    assert np.array_equal(foref.decode(foref.encode(vals), len(vals)), vals)
+
+
+# ----------------------------------------------------------------------- rle
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        np.array([], dtype=np.int64),
+        np.array([1], dtype=np.int64),
+        np.repeat(np.array([3, -1, 3, 9]), [1000, 1, 5, 2]),
+        np.arange(100, dtype=np.int64),          # all runs of 1
+        np.zeros(10000, dtype=np.int64),          # one run
+        np.tile(np.array([0, 1], dtype=np.int64), 500),  # alternating
+    ],
+)
+def test_rle_roundtrip(vals):
+    vals = vals.astype(np.int64)
+    assert np.array_equal(rle.decode(rle.encode(vals)), vals)
+
+
+def test_rle_compresses_runs():
+    vals = np.repeat(np.arange(10, dtype=np.int64), 10000)
+    assert len(rle.encode(vals)) < len(vals) * 8 // 100
+
+
+# ---------------------------------------------------------------------- fsst
+
+def test_fsst_roundtrip_source_code():
+    blob = (
+        b"def encode(values):\n    return [v for v in values]\n"
+        b"def decode(frame):\n    return frame.values\n" * 200
+    )
+    merges = fsst.train(blob)
+    assert merges, "expected symbol table on repetitive source text"
+    enc = fsst.compress(blob, merges)
+    assert len(enc) < len(blob) * 0.7
+    assert fsst.decompress(enc, merges) == blob
+    table = fsst.serialize_table(merges)
+    m2, used = fsst.deserialize_table(table)
+    assert m2 == merges and used == len(table)
+
+
+def test_fsst_full_byte_alphabet_falls_back():
+    blob = bytes(range(256)) * 64
+    assert fsst.train(blob) == []  # no free codes -> no table
+
+
+def test_fsst_tiny_blob():
+    assert fsst.train(b"ab") == []
+
+
+# ------------------------------------------------------------- frame dispatch
+
+STRING_CASES = [
+    [],
+    [None, None, None],
+    ["", "", ""],
+    ["x"],
+    ["same"] * 1000,
+    [f"distinct-{i}" for i in range(1000)],
+    ["a", None, "", "b", None, "ccc"] * 100,
+    ["naïve — ünïcodé ✓ 日本語", "ascii", None, ""],
+    ["line1\nline2\ttab", "quote'and\"double", ","],
+]
+
+
+@pytest.mark.parametrize("pyvals", STRING_CASES)
+@pytest.mark.parametrize("spec", ["plain", "fsst", "dict:plain", "dict:fsst", "rledict:plain", "plain+z", "dict:plain+z"])
+def test_string_frames_roundtrip(pyvals, spec):
+    arr = pa.array(pyvals, type=pa.string())
+    out = decode_array(encode_array(arr, spec))
+    assert out.cast(pa.string()).equals(arr)
+
+
+INT_CASES = [
+    ([], pa.int64()),
+    ([None], pa.int64()),
+    ([0, 1, 2, None, -5], pa.int64()),
+    ([7] * 1000, pa.int32()),
+    (list(range(1000)), pa.int64()),
+    ([2**62, -(2**62), 0], pa.int64()),
+    ([1, 2, 3], pa.int16()),
+]
+
+
+@pytest.mark.parametrize("pyvals,typ", INT_CASES)
+@pytest.mark.parametrize("spec", ["plain", "for", "rle", "for+z"])
+def test_int_frames_roundtrip(pyvals, typ, spec):
+    arr = pa.array(pyvals, type=typ)
+    out = decode_array(encode_array(arr, spec))
+    assert out.equals(arr), f"{out} != {arr}"
+
+
+def test_temporal_and_float_and_bool_frames():
+    ts = pa.array([0, 1_700_000_000_000_000, None], type=pa.timestamp("us"))
+    assert decode_array(encode_array(ts, "for")).equals(ts)
+    d = pa.array([0, 10000, None], type=pa.date32())
+    assert decode_array(encode_array(d, "for")).equals(d)
+    f = pa.array([0.1, float("nan"), None, -0.0, float("inf")], type=pa.float64())
+    out = decode_array(encode_array(f, "plain"))
+    assert out.is_null().equals(f.is_null())
+    a, b = f.to_numpy(zero_copy_only=False), out.to_numpy(zero_copy_only=False)
+    assert np.array_equal(a, b, equal_nan=True)
+    f32 = pa.array([1.5, None, 2.5], type=pa.float32())
+    assert decode_array(encode_array(f32, "plain")).equals(f32)
+    bl = pa.array([True, False, None, True], type=pa.bool_())
+    assert decode_array(encode_array(bl, "plain")).equals(bl)
+
+
+def test_binary_frames():
+    arr = pa.array([b"\x00\xff", None, b"", b"abc"], type=pa.binary())
+    assert decode_array(encode_array(arr, "plain")).equals(arr)
+
+
+# ------------------------------------------------------------------ selector
+
+def test_selector_low_cardinality_picks_dict_like():
+    arr = pa.array((["java"] * 400 + ["py"] * 300 + ["go"] * 300) * 10)
+    spec = selector.choose(arr)
+    assert spec.startswith(("dict", "rledict")), spec
+
+
+def test_selector_runs_pick_rle_int():
+    arr = pa.array(np.repeat(np.arange(5, dtype=np.int64), 20000))
+    assert selector.choose(arr) == "rle"
+
+
+def test_selector_sequential_ints_pick_for():
+    arr = pa.array(np.arange(100000, dtype=np.int64) + 10**12)
+    assert selector.choose(arr) == "for"
+
+
+def test_selector_text_compresses():
+    code = "def f(x):\n    return x + 1  # comment\n" * 50
+    arr = pa.array([code + str(i) for i in range(500)])
+    spec, frame = selector.encode_best(arr)
+    assert len(frame) < raw_size(arr) * 0.5, (spec, len(frame), raw_size(arr))
+    assert decode_array(frame).cast(pa.string()).equals(arr.cast(pa.string()))
+
+
+def test_encode_best_never_pathological():
+    rng = np.random.default_rng(7)
+    # incompressible random bytes as strings
+    vals = ["".join(chr(c) for c in row) for row in rng.integers(33, 127, (200, 50))]
+    arr = pa.array(vals)
+    spec, frame = selector.encode_best(arr)
+    assert len(frame) <= raw_size(arr) * 1.2
+    assert decode_array(frame).cast(pa.string()).equals(arr)
