@@ -85,8 +85,48 @@ def analyze(arr: pa.Array) -> ColumnStats:
     return st
 
 
-def choose(arr: pa.Array, stats: ColumnStats | None = None) -> str:
-    """Pick a codec spec (see codecs.__init__ mini-language) for one chunk."""
+_TRIAL_VALUES = 512
+_TRIAL_BYTES = 1 << 18
+_TIE_TOLERANCE = 1.05  # prefer a faster codec within 5% of the best size
+
+
+def _trial_sample(arr: pa.Array) -> pa.Array:
+    """Small deterministic stride sample for trial encodes (≤512 values)."""
+    n = len(arr)
+    if n <= _TRIAL_VALUES:
+        return arr
+    step = n // _TRIAL_VALUES
+    return arr.take(pa.array(np.arange(0, n, step, dtype=np.int64)[:_TRIAL_VALUES]))
+
+
+def _string_candidates(st: ColumnStats, profile: str) -> list[str]:
+    """Candidate specs in descending expected *speed* order; the trial pass
+    picks the smallest, with a tolerance-based preference for earlier
+    (faster) entries."""
+    cands: list[str] = []
+    if st.ndv_ratio < 0.7:
+        cands.append("rledict:plain+z" if st.run_ratio < 0.5 else "dict:plain+z")
+    cands.append("plain+z")
+    if st.avg_len >= 4 and (profile == "ratio" or st.n * st.avg_len < (1 << 20)):
+        if st.ndv_ratio >= 0.05:  # fsst useless on a tiny dictionary
+            cands.append("fsst+z")
+        if 0.05 < st.ndv_ratio < 0.7:
+            cands.append("dict:fsst+z")
+    cands.append("plain")
+    return cands
+
+
+def choose(arr: pa.Array, stats: ColumnStats | None = None, profile: str = "ratio") -> str:
+    """Pick a codec spec (see codecs.__init__ mini-language) for one chunk.
+
+    Integers use an analytic cost model (exact sizes are computable from
+    range / run stats). Strings use trial encodes of a small sample — the
+    measured sizes beat any analytic model for symbol-table / deflate
+    interactions — with a speed-ordered tie-break.
+
+    ``profile``: "ratio" (default — north_star optimizes compressed size)
+    or "fast" (skips symbol-table candidates on large blobs).
+    """
     st = stats or analyze(arr)
     if st.n == 0:
         return "plain"
@@ -103,28 +143,37 @@ def choose(arr: pa.Array, stats: ColumnStats | None = None) -> str:
     if st.kind == vec.KIND_FLOAT:
         # deflate trial decided at encode time via the +z fallback below
         return "plain+z"
-    # strings
-    n = st.n
-    ndv = max(1, int(st.ndv_ratio * n))
-    runs = max(1, int(st.run_ratio * n))
-    code_bits = max(1, bitpack.bit_width(ndv - 1))
-    dict_payload = ndv * (st.avg_len + 1.0)
-    plain_sz = n * st.avg_len
-    dict_sz = dict_payload * min(st.fsst_ratio, 1.0) + n * code_bits / 8
-    rledict_sz = dict_payload * min(st.fsst_ratio, 1.0) + runs * (code_bits / 8 + 2)
-    fsst_sz = n * st.avg_len * st.fsst_ratio + 600
-    zlib_sz = n * st.avg_len * st.zlib_ratio + n * 0.5
-
-    inner = "fsst" if st.fsst_ratio < 0.85 and dict_payload > 4096 else "plain"
-    candidates = [
-        (plain_sz, "plain"),
-        (dict_sz, f"dict:{inner}"),
-        (rledict_sz, f"rledict:{inner}"),
-        (fsst_sz, "fsst"),
-        (zlib_sz, "plain+z"),
-    ]
-    best = min(candidates)
-    return best[1]
+    # strings: trial-encode a sample under each candidate
+    sample = _trial_sample(arr)
+    lengths, blob = vec.string_parts(sample.fill_null("") if sample.null_count else sample)
+    if len(blob) > _TRIAL_BYTES:
+        # clip to the byte budget by taking a prefix of the sample
+        keep = int(np.searchsorted(np.cumsum(lengths), _TRIAL_BYTES)) + 1
+        sample = sample.slice(0, max(16, keep))
+    sn = len(sample)
+    half = max(1, sn // 2)
+    exact = sn == st.n  # sample IS the chunk → measured sizes are exact
+    sizes: list[tuple[float, str]] = []
+    for spec in _string_candidates(st, profile):
+        try:
+            s1 = len(encode_array(sample, spec))
+            if exact:
+                sizes.append((float(s1), spec))
+                continue
+            # two-point fit: separates fixed payload (dict/symtab/header)
+            # from per-value cost, so extrapolation to the full chunk is fair
+            s2 = len(encode_array(sample.slice(0, half), spec))
+            slope = max(0.0, (s1 - s2) / max(1, sn - half))
+            sizes.append((s1 + slope * (st.n - sn), spec))
+        except Exception:
+            continue
+    if not sizes:
+        return "plain"
+    best_sz = min(s for s, _ in sizes)
+    for sz, spec in sizes:  # first (fastest) within tolerance of best
+        if sz <= best_sz * _TIE_TOLERANCE:
+            return spec
+    return min(sizes)[1]
 
 
 def encode_best(arr: pa.Array, spec: str | None = None) -> tuple[str, bytes]:

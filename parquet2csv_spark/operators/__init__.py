@@ -1,0 +1,19 @@
+from .decode import decode_table
+from .encode import (
+    CHUNKS_DDL,
+    chunk_metrics,
+    encode_grouped,
+    encode_table,
+)
+from .verify import is_bit_identical, multiset_diff, sha256_check
+
+__all__ = [
+    "CHUNKS_DDL",
+    "chunk_metrics",
+    "decode_table",
+    "encode_grouped",
+    "encode_table",
+    "is_bit_identical",
+    "multiset_diff",
+    "sha256_check",
+]

@@ -1,0 +1,79 @@
+"""Distributed decode: chunks table → original DataFrame, bit-identical.
+
+The inverse of operators.encode — and the engine's analog of the
+reference's one real computation (identity reconstruction of every row of
+every column in order, ParquetToCsv.java:94-107). Because each chunks-table
+row carries ALL of its chunk's column frames, decode is a pure
+``mapInArrow`` — no shuffle, no join; Spark parallelizes over chunk rows.
+
+Ordering contract (SURVEY.md §2.3-2): Spark shuffles destroy implicit
+order, so order is explicit — ``with_position=True`` appends
+``(_group_key, _seq, _row_offset)``; sorting by those reproduces the
+grouped-encode total order exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+from ..codecs import decode_array
+
+POSITION_COLS_DDL = "_group_key string, _seq bigint, _row_offset bigint"
+
+
+def _arrow_schema_for(spark_schema: StructType) -> pa.Schema:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(spark_schema)
+
+
+def decode_table(
+    chunks_df: DataFrame,
+    schema: StructType | str,
+    with_position: bool = False,
+) -> DataFrame:
+    """Reconstruct the original table from its encoded chunks."""
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    out_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    if with_position:
+        out_ddl += ", " + POSITION_COLS_DDL
+    target = _arrow_schema_for(schema)
+    names = [f.name for f in schema.fields]
+
+    def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            n_chunks = tbl.num_rows
+            cols_list = tbl["cols"]
+            gks = tbl["group_key"].to_pylist()
+            seqs = tbl["seq"].to_pylist()
+            for i in range(n_chunks):
+                frames = cols_list[i].as_py() or []
+                by_name = {c["name"]: c for c in frames}
+                arrays = []
+                n_rows = 0
+                for j, name in enumerate(names):
+                    meta = by_name[name]
+                    arr = decode_array(meta["frame"])
+                    n_rows = len(arr)
+                    want = target.field(j).type
+                    if arr.type != want:
+                        arr = arr.cast(want)
+                    arrays.append(arr)
+                out_names = list(names)
+                if with_position:
+                    arrays.append(pa.array([gks[i]] * n_rows, type=pa.string()))
+                    arrays.append(pa.array(np.full(n_rows, seqs[i]), type=pa.int64()))
+                    arrays.append(pa.array(np.arange(n_rows), type=pa.int64()))
+                    out_names += ["_group_key", "_seq", "_row_offset"]
+                yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+    return chunks_df.mapInArrow(dec, out_ddl)

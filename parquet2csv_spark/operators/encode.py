@@ -1,0 +1,292 @@
+"""Distributed encode: DataFrame → size-capped, per-column-encoded chunks.
+
+Replaces the reference's single-threaded row-at-a-time decode/format loop
+(ParquetToCsv.java:93-109) with the inverse, cluster-scale operation: every
+row chunk's columns are vectorized-encoded into self-describing binary
+frames (codecs package) inside Arrow tasks — Python touches only Arrow
+batches, never rows (input_hint: no per-row Python).
+
+Two paths:
+
+- :func:`encode_table` — per-input-partition chunking via ``mapInArrow``;
+  zero shuffle; chunk ids are content-addressed. The fast path when no
+  global ordering contract is needed.
+- :func:`encode_grouped` — the corpus path (north_rule): explicit salting
+  of giant groups + size-capped chunk splitting BEFORE the shuffle, then
+  one ``groupBy(group_key).applyInArrow`` pass that sorts each group,
+  splits it at row/byte caps, and encodes. Deterministic chunk ids
+  ``{group_key}:{seq}`` make resume exact (plans.lineage).
+
+Chunks-table schema (one row per chunk; frames co-located so decode needs
+no shuffle)::
+
+    chunk_id string, group_key string, seq bigint, n_rows bigint,
+    raw_bytes bigint, enc_bytes bigint,
+    cols array<struct<name,codec,n,null_count,raw_bytes,enc_bytes,frame>>
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+from ..codecs import raw_size, selector
+
+CHUNKS_DDL = (
+    "chunk_id string, group_key string, seq bigint, n_rows bigint, "
+    "raw_bytes bigint, enc_bytes bigint, "
+    "cols array<struct<name:string, codec:string, n:bigint, null_count:bigint, "
+    "raw_bytes:bigint, enc_bytes:bigint, frame:binary>>"
+)
+
+COL_STRUCT = pa.struct(
+    [
+        ("name", pa.string()),
+        ("codec", pa.string()),
+        ("n", pa.int64()),
+        ("null_count", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("frame", pa.binary()),
+    ]
+)
+CHUNKS_ARROW = pa.schema(
+    [
+        ("chunk_id", pa.string()),
+        ("group_key", pa.string()),
+        ("seq", pa.int64()),
+        ("n_rows", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("cols", pa.list_(COL_STRUCT)),
+    ]
+)
+
+DEFAULT_CHUNK_ROWS = 65536
+DEFAULT_CHUNK_BYTES = 16 << 20
+
+
+# --------------------------------------------------------------- chunk core
+
+def _row_bytes(tbl: pa.Table) -> np.ndarray:
+    """Approximate logical bytes per row (drives size-capped splitting)."""
+    total = np.zeros(tbl.num_rows, dtype=np.int64)
+    for name in tbl.column_names:
+        col = tbl[name].combine_chunks()
+        typ = col.type
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ) or pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+            import pyarrow.compute as pc
+
+            filled = col.fill_null("") if col.null_count else col
+            total += pc.binary_length(filled.cast(pa.large_binary())).to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            total += 8
+    return total
+
+
+def split_points(tbl: pa.Table, chunk_rows: int, chunk_bytes: int) -> list[tuple[int, int]]:
+    """(offset, length) slices so each slice ≤ caps (≥1 row per slice)."""
+    n = tbl.num_rows
+    if n == 0:
+        return []
+    rb = _row_bytes(tbl)
+    cum = np.cumsum(rb)
+    out: list[tuple[int, int]] = []
+    start = 0
+    while start < n:
+        base = cum[start - 1] if start else 0
+        # furthest end within byte cap
+        end_b = int(np.searchsorted(cum, base + chunk_bytes, side="right"))
+        end = min(n, max(start + 1, end_b), start + chunk_rows)
+        out.append((start, end - start))
+        start = end
+    return out
+
+
+def encode_chunk(tbl: pa.Table, chunk_id: str, group_key: str, seq: int,
+                 specs: dict[str, str] | None = None) -> dict:
+    """Encode one row-chunk into a single chunks-table row (plain dict)."""
+    cols = []
+    t_raw = t_enc = 0
+    for name in tbl.column_names:
+        arr = tbl[name].combine_chunks()
+        spec, frame = selector.encode_best(arr, (specs or {}).get(name))
+        rb = raw_size(arr)
+        t_raw += rb
+        t_enc += len(frame)
+        cols.append(
+            {
+                "name": name,
+                "codec": spec,
+                "n": len(arr),
+                "null_count": arr.null_count,
+                "raw_bytes": rb,
+                "enc_bytes": len(frame),
+                "frame": frame,
+            }
+        )
+    return {
+        "chunk_id": chunk_id,
+        "group_key": group_key,
+        "seq": seq,
+        "n_rows": tbl.num_rows,
+        "raw_bytes": t_raw,
+        "enc_bytes": t_enc,
+        "cols": cols,
+    }
+
+
+def _rows_to_batch(rows: list[dict]) -> pa.RecordBatch:
+    arrays = [
+        pa.array([r[f.name] for r in rows], type=f.type) for f in CHUNKS_ARROW
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=CHUNKS_ARROW)
+
+
+# ----------------------------------------------------------- ungrouped path
+
+def encode_table(
+    df: DataFrame,
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    specs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-partition chunked encode; no shuffle. Chunk ids are
+    content-addressed (sha1 of frames) — identical data → identical ids."""
+
+    def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pending: list[pa.RecordBatch] = []
+        pending_rows = 0
+        pending_bytes = 0
+        seq = 0
+
+        def flush(tbl: pa.Table):
+            nonlocal seq
+            rows = []
+            for off, ln in split_points(tbl, chunk_rows, chunk_bytes):
+                piece = tbl.slice(off, ln)
+                row = encode_chunk(piece, "", "", seq, specs)
+                h = hashlib.sha1()
+                for c in row["cols"]:
+                    h.update(c["frame"])
+                row["chunk_id"] = h.hexdigest()[:20]
+                rows.append(row)
+                seq += 1
+            if rows:
+                yield _rows_to_batch(rows)
+
+        for batch in batches:
+            pending.append(batch)
+            pending_rows += batch.num_rows
+            pending_bytes += batch.nbytes
+            if pending_rows >= chunk_rows or pending_bytes >= chunk_bytes:
+                yield from flush(pa.Table.from_batches(pending))
+                pending, pending_rows, pending_bytes = [], 0, 0
+        if pending:
+            yield from flush(pa.Table.from_batches(pending))
+
+    return df.mapInArrow(enc, CHUNKS_DDL)
+
+
+# ------------------------------------------------------------- grouped path
+
+def _size_expr(df: DataFrame):
+    """Logical row-size column: utf8 bytes of string cols + 8B per other."""
+    parts = []
+    n_fixed = 0
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "string":
+            parts.append(F.coalesce(F.octet_length(F.col(f.name)), F.lit(0)))
+        else:
+            n_fixed += 8
+    expr = F.lit(n_fixed)
+    for p in parts:
+        expr = expr + p
+    return expr
+
+
+def encode_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    group_factor: int = 4,
+    specs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Skew-safe deterministic grouped encode (the north_rule path).
+
+    1. Aggregate per-group logical bytes (small: one row per group).
+    2. ``nsalts = ceil(bytes / (group_factor × chunk_bytes))`` — a giant
+       repo holding 40% of the corpus becomes many salted groups, each
+       ~``group_factor`` chunks, BEFORE any shuffle (explicit salting +
+       size-capped splitting, not AQE backstop — SURVEY.md §4.2).
+    3. Broadcast-join the salt counts, salt on ``xxhash64(order cols)``.
+    4. One shuffle on the salted key; each group is sorted, split at caps,
+       encoded. Chunk id = ``group_key:seq`` (deterministic → exact resume).
+    """
+    target = group_factor * chunk_bytes
+    sizes = (
+        df.groupBy(*group_cols)
+        .agg(F.sum(_size_expr(df)).alias("_gbytes"))
+        .withColumn(
+            "_nsalts",
+            F.greatest(F.lit(1), F.ceil(F.col("_gbytes") / F.lit(target))).cast("int"),
+        )
+        .drop("_gbytes")
+    )
+    salted = (
+        df.join(F.broadcast(sizes), on=group_cols, how="inner")
+        .withColumn(
+            "_gk",
+            F.concat_ws(
+                "#",
+                *[F.col(c) for c in group_cols],
+                F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.col("_nsalts")).cast("string"),
+            ),
+        )
+        .drop("_nsalts")
+    )
+
+    data_cols = df.columns
+
+    def enc_group(tbl: pa.Table) -> pa.Table:
+        gk = tbl["_gk"][0].as_py() if tbl.num_rows else ""
+        body = tbl.select(data_cols)
+        order_idx = pa.compute.sort_indices(
+            body, sort_keys=[(c, "ascending") for c in order_cols]
+        )
+        body = body.take(order_idx)
+        rows = []
+        for seq, (off, ln) in enumerate(split_points(body, chunk_rows, chunk_bytes)):
+            piece = body.slice(off, ln)
+            rows.append(encode_chunk(piece, f"{gk}:{seq:06d}", gk, seq, specs))
+        return pa.Table.from_batches([_rows_to_batch(rows)], schema=CHUNKS_ARROW)
+
+    return salted.groupBy("_gk").applyInArrow(enc_group, CHUNKS_DDL)
+
+
+def chunk_metrics(chunks_df: DataFrame) -> DataFrame:
+    """Per-column codec/ratio metrics — the auditable view of selector
+    decisions (feeds the lineage table and BENCH reporting)."""
+    c = F.explode("cols").alias("c")
+    return (
+        chunks_df.select("chunk_id", "group_key", "seq", "n_rows", c)
+        .select(
+            "chunk_id",
+            "group_key",
+            "seq",
+            "n_rows",
+            F.col("c.name").alias("col"),
+            F.col("c.codec").alias("codec"),
+            F.col("c.n").alias("n"),
+            F.col("c.null_count").alias("null_count"),
+            F.col("c.raw_bytes").alias("raw_bytes"),
+            F.col("c.enc_bytes").alias("enc_bytes"),
+            (F.col("c.enc_bytes") / F.greatest(F.col("c.raw_bytes"), F.lit(1))).alias("ratio"),
+        )
+    )
