@@ -1,38 +1,439 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``      — flagship: encode→decode→verify the documents table at
+                 sf0.001, returning per-lang bit-identity counts.
+``queries``    — one entry per implemented operator (SURVEY.md §2.2 plus
+                 the training-data ops); each takes (spark, sf_dir).
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents. Omitted only for
+                 genuinely non-SQL-expressible ops (engine-internal metrics,
+                 approximate LSH) — the driver records a rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from parquet2csv_spark.functions import dedup as X
+from parquet2csv_spark.functions import formatting as fmt
+from parquet2csv_spark.functions import multimodal as mm
+from parquet2csv_spark.functions import similarity as sim
+from parquet2csv_spark.functions import text as tx
+from parquet2csv_spark.operators import (
+    chunk_metrics,
+    decode_table,
+    encode_grouped,
+    encode_table,
+    multiset_diff,
+)
+from parquet2csv_spark.sources.corpus import CORPUS_DDL, generate_corpus
+
+_T = lambda spark, sf_dir, name: spark.read.parquet(f"{sf_dir}/{name}.parquet")  # noqa: E731
+
+LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+]
+EVENTS_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+DOCS_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+# --------------------------------------------------------------- flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Encode the sf0.001 documents table into codec chunks, decode it back,
+    and report per-lang row counts with sha256 bit-identity matches."""
+    docs = _T(spark, "/root/testdata/sf0.001", "documents")
+    chunks = encode_table(docs, chunk_rows=4096)
+    dec = decode_table(chunks, docs.schema)
+    s, d = docs.alias("s"), dec.alias("d")
+    match = F.sha2(F.col("s.text"), 256) == F.sha2(F.col("d.text"), 256)
+    return (
+        s.join(d, F.col("s.doc_id") == F.col("d.doc_id"))
+        .groupBy(F.col("s.lang").alias("lang"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(match, 1).otherwise(0)).alias("n_sha_match"),
+        )
+    )
+
+
+# ------------------------------------------------------- engine round-trips
+
+def _roundtrip(spark, sf_dir, table, cols):
+    src = _T(spark, sf_dir, table)
+    chunks = encode_table(src, chunk_rows=16384)
+    return decode_table(chunks, src.schema).select(*cols)
+
+
+def q_roundtrip_documents(spark, sf_dir):
+    return _roundtrip(spark, sf_dir, "documents", DOCS_COLS)
+
+
+def q_roundtrip_lineitem(spark, sf_dir):
+    return _roundtrip(spark, sf_dir, "lineitem", LINEITEM_COLS)
+
+
+def q_roundtrip_events(spark, sf_dir):
+    return _roundtrip(spark, sf_dir, "events", EVENTS_COLS)
+
+
+def q_encode_verify_documents(spark, sf_dir):
+    docs = _T(spark, sf_dir, "documents")
+    dec = decode_table(encode_table(docs, chunk_rows=16384), docs.schema)
+    s, d = docs.alias("s"), dec.alias("d")
+    match = F.sha2(F.col("s.text"), 256) == F.sha2(F.col("d.text"), 256)
+    return (
+        s.join(d, F.col("s.doc_id") == F.col("d.doc_id"))
+        .groupBy(F.col("s.lang").alias("lang"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.when(match, 1).otherwise(0)).cast("long").alias("n_match"))
+    )
+
+
+def q_encode_metrics_documents(spark, sf_dir):
+    docs = _T(spark, sf_dir, "documents")
+    m = chunk_metrics(encode_table(docs, chunk_rows=16384))
+    return m.groupBy("col").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+    )
+
+
+def q_corpus_roundtrip(spark, sf_dir):
+    corpus = generate_corpus(spark, 3000, seed=42).cache()
+    chunks = encode_grouped(corpus, ["repo"], ["path", "commit"], chunk_rows=1024)
+    dec = decode_table(chunks, CORPUS_DDL)
+    return spark.createDataFrame(
+        [(corpus.count(), chunks.count(), multiset_diff(corpus, dec).count())],
+        "n_rows bigint, n_chunks bigint, multiset_diff bigint",
+    )
+
+
+# ----------------------------------------------- reference parity operators
+
+def q_scan_uppercase_region(spark, sf_dir):
+    df = _T(spark, sf_dir, "region")
+    return df.toDF(*[c.upper() for c in df.columns])
+
+
+def q_csv_format_strings(spark, sf_dir):
+    docs = _T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fmt.fmt_string(F.col("text")).alias("text_fmt"),
+        fmt.fmt_string(F.col("lang")).alias("lang_fmt"),
+    )
+
+
+def q_csv_format_timestamps(spark, sf_dir):
+    ev = _T(spark, sf_dir, "events")
+    return ev.select("event_id", fmt.fmt_timestamp_iso(F.col("ts")).alias("ts_fmt"))
+
+
+def q_csv_format_floats(spark, sf_dir):
+    ev = _T(spark, sf_dir, "events")
+    return ev.select("event_id", fmt.fmt_float_exact(F.col("value")).alias("value_fmt"))
+
+
+# ------------------------------------------------ relational operator suite
+
+def q_agg_pricing_summary(spark, sf_dir):
+    li = _T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_window_topk_orders(spark, sf_dir):
+    o = _T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+def q_anti_join_customers_without_orders(spark, sf_dir):
+    c = _T(spark, sf_dir, "customer")
+    o = _T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q_selector_stats_documents(spark, sf_dir):
+    d = _T(spark, sf_dir, "documents")
+    return d.agg(
+        F.countDistinct("text").cast("long").alias("ndv_text"),
+        F.countDistinct("lang").cast("long").alias("ndv_lang"),
+        F.countDistinct("source").cast("long").alias("ndv_source"),
+        F.round(F.avg(F.octet_length("text")), 4).alias("avg_len_text"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).cast("long").alias("n_null_text"),
+    )
+
+
+# ----------------------------------------------------- training-data ops
+
+def q_dedup_exact_documents(spark, sf_dir):
+    return X.exact_dups(_T(spark, sf_dir, "documents"), "doc_id")
+
+
+def q_token_count_documents(spark, sf_dir):
+    d = _T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return d.select("doc_id", tx.token_count(F.col("text")).cast("long").alias("n_tokens"))
+
+
+def q_quality_scores_documents(spark, sf_dir):
+    d = _T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return tx.quality_features(d).select(
+        "doc_id", "q_chars", "q_tokens", "q_punct_ratio", "q_stop_ratio", "q_score"
+    ).withColumn("q_chars", F.col("q_chars").cast("long")) \
+     .withColumn("q_tokens", F.col("q_tokens").cast("long"))
+
+
+def q_langid_documents(spark, sf_dir):
+    d = _T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return tx.langid(d).select("doc_id", "lang_pred")
+
+
+def q_fingerprint_documents(spark, sf_dir):
+    return tx.fingerprint_md5(
+        _T(spark, sf_dir, "documents").filter(F.col("text").isNotNull()), ["doc_id"]
+    )
+
+
+def q_simhash_documents(spark, sf_dir):
+    return X.simhash64(_T(spark, sf_dir, "documents"), "doc_id")
+
+
+def q_jaccard_pairs_documents(spark, sf_dir):
+    d = _T(spark, sf_dir, "documents")
+    return X.all_pairs_jaccard(d, "doc_id", n=4, threshold=0.2, max_keys=120)
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    d = _T(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    return X.minhash_near_dups(d, "doc_id", n=4, num_perm=32, bands=8, threshold=0.5)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    e = _T(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(e, e.filter(F.col("vec_id") < 8), k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    e = _T(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return sim.lsh_topk(e, e.filter(F.col("vec_id") < 8), dim=dim, k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def q_multimodal_bytes(spark, sf_dir):
+    d = _T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return mm.media_metadata(mm.attach_binary(d, "text", "doc_id"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "roundtrip_documents": q_roundtrip_documents,
+        "roundtrip_lineitem": q_roundtrip_lineitem,
+        "roundtrip_events": q_roundtrip_events,
+        "encode_verify_documents": q_encode_verify_documents,
+        "encode_metrics_documents": q_encode_metrics_documents,
+        "corpus_roundtrip": q_corpus_roundtrip,
+        "scan_uppercase_region": q_scan_uppercase_region,
+        "csv_format_strings": q_csv_format_strings,
+        "csv_format_timestamps": q_csv_format_timestamps,
+        "csv_format_floats": q_csv_format_floats,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "window_topk_orders": q_window_topk_orders,
+        "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
+        "selector_stats_documents": q_selector_stats_documents,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "token_count_documents": q_token_count_documents,
+        "quality_scores_documents": q_quality_scores_documents,
+        "langid_documents": q_langid_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "simhash_documents": q_simhash_documents,
+        "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "minhash_near_dups": q_minhash_near_dups,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_bytes": q_multimodal_bytes,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+_DOC_HASH = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+
+_STOP = {
+    "de": "der|die|und|das|nicht|ist",
+    "en": "the|and|of|to|in|is",
+    "es": "el|los|que|una|por|con",
+    "fr": "le|la|les|et|des|une",
+}
+
+
+def _langid_oracle() -> str:
+    hits = ", ".join(
+        f"length(regexp_extract_all(lower(text), '\\b({pat})\\b')) AS hits_{lg}"
+        for lg, pat in _STOP.items()
+    )
+    langs = sorted(_STOP)
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN hits_{lg} = {best} AND {best} > 0 THEN '{lg}'" for lg in langs
+    ) + " ELSE 'unknown' END"
+    return f"""
+        WITH scored AS (SELECT doc_id, {hits} FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id, {case} AS lang_pred FROM scored
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    li = ", ".join(LINEITEM_COLS)
+    return {
+        "roundtrip_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "roundtrip_lineitem": f"SELECT {li} FROM lineitem",
+        "roundtrip_events": "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+        "encode_verify_documents": """
+            SELECT lang, count(*) AS n_docs, count(text) AS n_match
+            FROM documents GROUP BY lang
+        """,
+        "scan_uppercase_region": """
+            SELECT r.r_regionkey AS "R_REGIONKEY", r.r_name AS "R_NAME"
+            FROM region r
+        """,
+        "csv_format_strings": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN 'null' ELSE '''' || text || '''' END AS text_fmt,
+                   CASE WHEN lang IS NULL THEN 'null' ELSE '''' || lang || '''' END AS lang_fmt
+            FROM documents
+        """,
+        "csv_format_timestamps": """
+            SELECT event_id,
+                   CASE WHEN ts IS NULL THEN 'null'
+                        ELSE '''' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z''' END AS ts_fmt
+            FROM events
+        """,
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "window_topk_orders": """
+            SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS price FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders) WHERE rk <= 3
+        """,
+        "anti_join_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "selector_stats_documents": """
+            SELECT count(DISTINCT text) AS ndv_text,
+                   count(DISTINCT lang) AS ndv_lang,
+                   count(DISTINCT source) AS ndv_source,
+                   round(avg(strlen(text)), 4) AS avg_len_text,
+                   sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null_text
+            FROM documents
+        """,
+        "dedup_exact_documents": """
+            SELECT md5(text) AS fp_md5, min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+        """,
+        "token_count_documents": r"""
+            SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+            FROM documents WHERE text IS NOT NULL
+        """,
+        "quality_scores_documents": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     length(regexp_extract_all(text, '\S+')) AS n_tok,
+                     length(regexp_extract_all(text, '[\.,;:!\?]')) AS n_punct,
+                     length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS n_stop
+              FROM documents WHERE text IS NOT NULL)
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS q_chars,
+                   CAST(n_tok AS BIGINT) AS q_tokens,
+                   round(n_punct / greatest(n_chars, 1), 4) AS q_punct_ratio,
+                   round(n_stop / greatest(n_tok, 1), 4) AS q_stop_ratio,
+                   round(least(n_tok / 100.0, 1.0) * 0.4
+                         + least((n_stop / greatest(n_tok, 1)) * 4.0, 1.0) * 0.3
+                         + (1.0 - least((n_punct / greatest(n_chars, 1)) * 5.0, 1.0)) * 0.3,
+                         4) AS q_score
+            FROM f
+        """,
+        "langid_documents": _langid_oracle(),
+        "fingerprint_documents": """
+            SELECT doc_id, md5(text) AS fp_md5 FROM documents WHERE text IS NOT NULL
+        """,
+        "simhash_documents": rf"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+              FROM documents WHERE text IS NOT NULL),
+            h AS (SELECT doc_id, {_DOC_HASH.format(x='tok')} AS h FROM toks),
+            v AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                  FROM h, (SELECT unnest(range(60)) AS bit) b GROUP BY doc_id, bit)
+            SELECT doc_id AS key,
+                   CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+            FROM v GROUP BY doc_id
+        """,
+        "jaccard_pairs_documents": """
+            WITH e AS (SELECT doc_id, text, unnest(range(1, length(text) - 2)) AS i
+                       FROM documents
+                       WHERE text IS NOT NULL AND length(text) >= 4 AND doc_id < 120),
+            sh AS (SELECT DISTINCT doc_id AS key, substring(text, i, 4) AS shingle FROM e),
+            sizes AS (SELECT key, count(*) AS n_sh FROM sh GROUP BY key),
+            inter AS (SELECT a.key AS key_a, b.key AS key_b, count(*) AS n_inter
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.key < b.key
+                      GROUP BY a.key, b.key)
+            SELECT key_a, key_b,
+                   round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter JOIN sizes sa ON key_a = sa.key JOIN sizes sb ON key_b = sb.key
+            WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT q.q_id, e.vec_id AS n_id,
+                         list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS c
+                  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+            r AS (SELECT q_id, n_id, c,
+                         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rank
+                  FROM s)
+            SELECT q_id, rank, n_id, round(c, 4) AS cos FROM r WHERE rank <= 5
+        """,
+        "multimodal_bytes": """
+            SELECT doc_id AS media_id,
+                   CAST(strlen(text) AS INT) AS byte_len,
+                   'unknown' AS magic,
+                   sha256(text) AS sha
+            FROM documents WHERE text IS NOT NULL
+        """,
+    }

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Cluster driver CLI — the spark-submit analog of the reference's
+``prq2csv`` entry points (DataLoad.java:95-116 usage, :256-304 dispatch),
+plus the encode/decode/resume job the reference lacks.
+
+    spark-submit --py-files p2c.zip driver.py encode \
+        --input /data/source_code --out /data/enc --job-id nightly
+    spark-submit ... driver.py decode --chunks /data/enc --schema-json s.json --out /data/restored
+    spark-submit ... driver.py csv --input f.parquet --out f_csv        # entry point A
+    spark-submit ... driver.py to-json --input f.parquet --out f.schema.json   # B
+    spark-submit ... driver.py from-json --input f.schema.json --out footer_only  # C
+    spark-submit ... driver.py one-row-schema --input f.parquet --out one_row    # D
+
+Zone handling (`-tz`, DataLoad.java:202-226) maps to
+``--timezone`` → ``spark.sql.session.timeZone``.
+
+Package for a real cluster:  ``python tools/package.py`` → dist/p2c.zip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="p2c-spark")
+    p.add_argument("--timezone", default="UTC")
+    p.add_argument("--cpus", type=int, default=None, help="local[N] when not on a cluster")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode", help="resumable grouped encode with lineage")
+    enc.add_argument("--input", required=True)
+    enc.add_argument("--out", required=True)
+    enc.add_argument("--job-id", default="encode")
+    enc.add_argument("--group-cols", default="repo")
+    enc.add_argument("--order-cols", default="path,commit")
+    enc.add_argument("--chunk-rows", type=int, default=65536)
+    enc.add_argument("--chunk-bytes", type=int, default=8 << 20)
+
+    dec = sub.add_parser("decode", help="reconstruct a table from chunks")
+    dec.add_argument("--chunks", required=True)
+    dec.add_argument("--schema-json", required=True)
+    dec.add_argument("--out", required=True)
+
+    ver = sub.add_parser("verify", help="bit-identity check: chunks vs source")
+    ver.add_argument("--input", required=True)
+    ver.add_argument("--chunks", required=True)
+
+    csv = sub.add_parser("csv", help="reference entry point A: parquet → csv")
+    csv.add_argument("--input", required=True)
+    csv.add_argument("--out", required=True)
+
+    tj = sub.add_parser("to-json", help="reference entry point B: schema export")
+    tj.add_argument("--input", required=True)
+    tj.add_argument("--out", required=True)
+
+    fj = sub.add_parser("from-json", help="reference entry point C: schema import")
+    fj.add_argument("--input", required=True)
+    fj.add_argument("--out", required=True)
+
+    ors = sub.add_parser("one-row-schema", help="reference entry point D")
+    ors.add_argument("--input", required=True)
+    ors.add_argument("--out", required=True)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from parquet2csv_spark.session import get_spark
+
+    spark = get_spark(cpus=args.cpus)
+    spark.conf.set("spark.sql.session.timeZone", args.timezone)
+
+    if args.cmd == "encode":
+        from parquet2csv_spark.plans.lineage import EncodeJob
+        from parquet2csv_spark.sources.catalog import open_catalog
+
+        cat = open_catalog(spark)
+        snap = cat.snapshot(args.input)
+        df = cat.read(snap)
+        job = EncodeJob(
+            spark, args.out, snapshot_id=snap.snapshot_id, job_id=args.job_id,
+            group_cols=args.group_cols.split(","), order_cols=args.order_cols.split(","),
+            chunk_rows=args.chunk_rows, chunk_bytes=args.chunk_bytes,
+        )
+        summary = job.run(df)
+        with open(f"{args.out.rstrip('/')}/schema.json", "w") as f:
+            f.write(json.dumps(df.schema.jsonValue()))
+        print(json.dumps({"snapshot_id": snap.snapshot_id, **summary}))
+    elif args.cmd == "decode":
+        from pyspark.sql.types import StructType
+
+        from parquet2csv_spark.operators import decode_table
+
+        schema = StructType.fromJson(json.load(open(args.schema_json)))
+        chunks = spark.read.parquet(args.chunks)
+        decode_table(chunks, schema).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"decoded_to": args.out}))
+    elif args.cmd == "verify":
+        from pyspark.sql.types import StructType
+
+        from parquet2csv_spark.operators import decode_table, multiset_diff
+
+        src = spark.read.parquet(args.input)
+        chunks = spark.read.parquet(f"{args.chunks.rstrip('/')}/chunks")
+        dec = decode_table(chunks, src.schema)
+        diff = multiset_diff(src, dec).count()
+        print(json.dumps({"multiset_diff": diff, "bit_identical": diff == 0}))
+        return 0 if diff == 0 else 2
+    elif args.cmd == "csv":
+        from parquet2csv_spark.functions.formatting import parquet_to_csv
+
+        parquet_to_csv(spark, args.input, args.out)
+        print(json.dumps({"csv": args.out}))
+    elif args.cmd == "to-json":
+        from parquet2csv_spark.sources.schema_io import export_schema_json
+
+        export_schema_json(spark, args.input, args.out)
+        print(json.dumps({"schema_json": args.out}))
+    elif args.cmd == "from-json":
+        from parquet2csv_spark.sources.schema_io import (
+            schema_from_json,
+            write_schema_only_parquet,
+        )
+
+        schema = schema_from_json(open(args.input).read())
+        write_schema_only_parquet(spark, schema, args.out)
+        print(json.dumps({"footer_only_parquet": args.out}))
+    elif args.cmd == "one-row-schema":
+        from parquet2csv_spark.sources.schema_io import write_one_row_schema_file
+
+        schema = spark.read.parquet(args.input).schema
+        write_one_row_schema_file(spark, schema, args.out)
+        print(json.dumps({"one_row_schema_file": args.out}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

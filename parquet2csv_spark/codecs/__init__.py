@@ -99,8 +99,19 @@ def _dec_plain_str(body: bytes, n: int) -> tuple[np.ndarray, bytes]:
     return lengths, body[off:]
 
 
-def _enc_fsst(lengths: np.ndarray, blob: bytes) -> bytes:
-    merges = fsst.train(blob)
+def _enc_fsst(lengths: np.ndarray, blob: bytes,
+              ctx: dict | None = None, ctx_key: str | None = None) -> bytes:
+    merges = None
+    if ctx is not None and ctx_key is not None:
+        cached = ctx.get(("fsst", ctx_key))
+        # table reuse across chunks of one sorted group: skip retraining
+        # when the cached codes are still unused in this chunk's blob
+        if cached and fsst.reusable(blob, cached):
+            merges = cached
+    if merges is None:
+        merges = fsst.train(blob)
+        if ctx is not None and ctx_key is not None:
+            ctx[("fsst", ctx_key)] = merges
     enc = fsst.compress(blob, merges) if merges else blob
     return _lengths_block(lengths) + fsst.serialize_table(merges) + enc
 
@@ -139,8 +150,18 @@ def _dec_dict(tag: int, body: bytes, n: int) -> pa.Array:
 
 # ------------------------------------------------------------------- frames
 
-def encode_array(arr: pa.Array, spec: str) -> bytes:
-    """Encode one pyarrow Array into a self-describing frame."""
+def _zlib_level(size: int) -> int:
+    """Deflate effort by body size: big bodies get the fast level (the
+    ratio loss after dict/fsst preconditioning is ~2-5%, the speedup ~4×)."""
+    return 1 if size > (1 << 20) else _ZLIB_LEVEL
+
+
+def encode_array(arr: pa.Array, spec: str,
+                 ctx: dict | None = None, ctx_key: str | None = None) -> bytes:
+    """Encode one pyarrow Array into a self-describing frame.
+
+    ``ctx``/``ctx_key``: optional per-task cache enabling symbol-table
+    reuse across consecutive chunks of the same sorted group."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     typ = arr.type
@@ -167,7 +188,7 @@ def encode_array(arr: pa.Array, spec: str) -> bytes:
             tag, body = T_PLAIN_STR, _enc_plain_str(lengths, blob)
         elif base_spec == "fsst":
             lengths, blob = vec.string_parts(filled)
-            tag, body = T_FSST, _enc_fsst(lengths, blob)
+            tag, body = T_FSST, _enc_fsst(lengths, blob, ctx, ctx_key)
         elif base_spec.startswith("dict"):
             inner = base_spec.split(":", 1)[1] if ":" in base_spec else "plain"
             tag, body = _enc_dict(filled, inner, use_rle=False)
@@ -178,7 +199,7 @@ def encode_array(arr: pa.Array, spec: str) -> bytes:
             raise ValueError(f"unknown string codec {base_spec!r}")
 
     if use_z:
-        body = bytes((tag,)) + zlib.compress(body, _ZLIB_LEVEL)
+        body = bytes((tag,)) + zlib.compress(body, _zlib_level(len(body)))
         tag = T_ZLIB
 
     ds = vec.dtype_str(typ).encode()
@@ -242,13 +263,15 @@ def _body_offset(frame: bytes) -> int:
     return off
 
 
-def wrap_zlib(frame: bytes, level: int = _ZLIB_LEVEL) -> bytes:
+def wrap_zlib(frame: bytes, level: int | None = None) -> bytes:
     """Re-wrap an existing frame's body in the zlib transport layer without
     re-running the inner codec (used by the selector's +z trial)."""
     tag = frame[1]
     if tag == T_ZLIB:
         return frame
     off = _body_offset(frame)
+    if level is None:
+        level = _zlib_level(len(frame) - off)
     body = bytes((tag,)) + zlib.compress(frame[off:], level)
     return frame[:1] + bytes((T_ZLIB,)) + frame[2:off] + body
 

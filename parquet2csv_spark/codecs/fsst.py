@@ -49,8 +49,11 @@ def train(
     """
     if len(blob) < 64:
         return []
-    counts = np.bincount(np.frombuffer(blob, dtype=np.uint8), minlength=256)
-    free = [b for b in range(256) if counts[b] == 0]
+    # presence scatter: one vectorized pass (np.bincount on uint8 takes a
+    # pathologically slow path — 3s on an 11MB blob)
+    present = np.zeros(256, dtype=bool)
+    present[np.frombuffer(blob, dtype=np.uint8)] = True
+    free = np.flatnonzero(~present).tolist()
     if not free:
         return []
     # stride-sample the blob so the table sees head, middle and tail
@@ -77,6 +80,16 @@ def train(
         merges.append((code, left, right))
         work = work.replace(bytes((left, right)), bytes((code,)))
     return merges
+
+
+def reusable(blob: bytes, merges: list[tuple[int, int, int]]) -> bool:
+    """A trained table transfers to another blob iff none of its code bytes
+    occur there (invertibility condition). One vectorized presence pass."""
+    if not merges:
+        return False
+    present = np.zeros(256, dtype=bool)
+    present[np.frombuffer(blob, dtype=np.uint8)] = True
+    return not any(present[code] for code, _, _ in merges)
 
 
 def compress(blob: bytes, merges: list[tuple[int, int, int]]) -> bytes:

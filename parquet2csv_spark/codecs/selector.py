@@ -176,17 +176,34 @@ def choose(arr: pa.Array, stats: ColumnStats | None = None, profile: str = "rati
     return min(sizes)[1]
 
 
-def encode_best(arr: pa.Array, spec: str | None = None) -> tuple[str, bytes]:
+def encode_best(
+    arr: pa.Array,
+    spec: str | None = None,
+    ctx: dict | None = None,
+    ctx_key: str | None = None,
+) -> tuple[str, bytes]:
     """Encode with the chosen (or given) spec; additionally trial a zlib
     transport layer on the body and keep it when it saves >10%.
+
+    ``ctx``/``ctx_key``: per-task cache — the spec chosen for a column is
+    reused for subsequent chunks of the same group (consecutive chunks of a
+    sorted group are near-identically distributed), as is the FSST symbol
+    table when its codes stay valid. Both are deterministic because groups
+    are always encoded from seq 0 in order.
 
     Guarantee: never pathologically worse than plain — if the chosen frame
     exceeds the plain frame, fall back to plain.
     """
     from . import raw_size, wrap_zlib
 
-    chosen = spec or choose(arr)
-    frame = encode_array(arr, chosen)
+    chosen = spec
+    if chosen is None and ctx is not None and ctx_key is not None:
+        chosen = ctx.get(("spec", ctx_key))
+    if chosen is None:
+        chosen = choose(arr)
+        if ctx is not None and ctx_key is not None:
+            ctx[("spec", ctx_key)] = chosen
+    frame = encode_array(arr, chosen, ctx, ctx_key)
     if not chosen.endswith("+z") and len(frame) > 4096:
         # cheap sliced trial first; full +z wrap only if promising
         trial = frame[: _ZLIB_TRIAL]

@@ -1,0 +1,206 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+- exact dedup is a hash groupBy (map-side combinable, one shuffle);
+- MinHash signatures are computed with built-in JVM functions over exploded
+  shingles (scales to any corpus; no Python in the path), bands are
+  equi-joined (bucket join) so candidate generation never goes quadratic;
+- SimHash uses the same exploded-token trick with bit-vote aggregation;
+- verbatim-pair Jaccard verification is an equi-join on shingles — used to
+  confirm LSH candidates, bounded by candidate count, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import char_ngrams
+
+# deterministic 64-bit universal-hash parameters (odd multipliers)
+_MERSENNE = (1 << 61) - 1
+
+
+def _doc_hash(c: Column) -> Column:
+    """Deterministic non-negative 60-bit hash of a string, expressible in
+    both Spark and DuckDB: first 15 hex digits of md5 → bigint."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def _doc_hash32(c: Column) -> Column:
+    """32-bit variant for universal-hash arithmetic that must stay within
+    int64 under ANSI overflow checking (a*h + b with a ≤ 2^30)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def exact_dups(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash: (fp_md5, keep_id, dup_count).
+    keep_id = min key (deterministic survivor)."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("fp_md5"))
+        .agg(
+            F.min(key_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def shingles(df: DataFrame, key_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct character n-gram shingles per document, exploded:
+    (key, shingle)."""
+    return (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) >= n))
+        .select(F.col(key_col).alias("key"), F.explode(F.array_distinct(char_ngrams(F.col(text_col), n))).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, key_col: str, text_col: str = "text",
+    n: int = 3, num_perm: int = 32,
+) -> DataFrame:
+    """(key, sig array<bigint>): MinHash over universal-hashed shingles.
+
+    sig[j] = min over shingles of (a_j * h + b_j) mod p — all JVM-side:
+    explode → project num_perm hash columns → groupBy(key).min each.
+    h is 32-bit and a_j ≤ 2^20 so a*h+b < 2^63 (ANSI-safe, no overflow).
+    """
+    sh = shingles(df, key_col, text_col, n).withColumn("h", _doc_hash32(F.col("shingle")))
+    perms = [(2 * j + 3, (j * j + 7) % 1000003) for j in range(num_perm)]
+    hcols = [
+        F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE)).alias(f"m{j}")
+        for j, (a, b) in enumerate(perms)
+    ]
+    mins = sh.select("key", *hcols).groupBy("key").agg(
+        *[F.min(f"m{j}").alias(f"m{j}") for j in range(num_perm)]
+    )
+    return mins.select("key", F.array(*[F.col(f"m{j}") for j in range(num_perm)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Banding: hash each band of the signature, equi-join per band bucket.
+    Returns distinct (key_a, key_b) with key_a < key_b."""
+    banded = sig_df.select(
+        "key",
+        F.posexplode(
+            F.array(*[
+                F.hash(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+                for b in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.key") < F.col("r.key")),
+        )
+        .select(F.col("l.key").alias("key_a"), F.col("r.key").alias("key_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame, key_col: str, text_col: str = "text",
+    n: int = 3, num_perm: int = 32, bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → exact-Jaccard
+    verification of candidates only. Returns (key_a, key_b, jaccard)."""
+    sigs = minhash_signatures(df, key_col, text_col, n, num_perm)
+    cands = lsh_candidate_pairs(sigs, bands, num_perm // bands)
+    sh = shingles(df, key_col, text_col, n)
+    return ngram_jaccard_on_pairs(cands, sh, threshold)
+
+
+def ngram_jaccard_on_pairs(
+    pairs: DataFrame, sh: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """Exact Jaccard for given candidate pairs via shingle equi-join."""
+    sizes = sh.groupBy("key").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        pairs.join(a, pairs.key_a == F.col("a.key"))
+        .join(b, (pairs.key_b == F.col("b.key")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("key_a", "key_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, inter.key_a == F.col("sa.key"))
+        .join(sb, inter.key_b == F.col("sb.key"))
+        .select(
+            "key_a",
+            "key_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def all_pairs_jaccard(
+    df: DataFrame, key_col: str, text_col: str = "text",
+    n: int = 3, threshold: float = 0.5, max_keys: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over all same-shingle pairs (oracle-checkable; the
+    shingle equi-join bounds cost — only pairs sharing ≥1 shingle appear)."""
+    sh = shingles(df, key_col, text_col, n)
+    if max_keys is not None:
+        sh = sh.filter(F.col("key") < max_keys)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.key") < F.col("b.key")))
+        .groupBy(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy("key").agg(F.count("*").alias("n_sh"))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        pairs.join(sa, pairs.key_a == F.col("sa.key"))
+        .join(sb, pairs.key_b == F.col("sb.key"))
+        .select(
+            "key_a", "key_b",
+            F.round(F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    hashes, weighted by token frequency. All JVM-side: explode tokens →
+    cross join a 64-row bit table → conditional sum → bit assembly."""
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.explode(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)).alias("tok"),
+        )
+        .withColumn("h", _doc_hash(F.col("tok")))
+    )
+    bits = toks.sparkSession.range(60).select(F.col("id").cast("int").alias("bit"))
+    votes = (
+        toks.crossJoin(F.broadcast(bits))
+        .groupBy("key", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    return votes.groupBy("key").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )

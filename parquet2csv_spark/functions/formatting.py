@@ -1,0 +1,135 @@
+"""Reference CSV-formatting parity (operators F1-F6, SURVEY.md §2.1).
+
+Re-expresses `ParquetToCsv.formatFieldValue` (/root/reference/.../
+ParquetToCsv.java:136-251) as Spark column expressions — whole-stage
+codegen'd, not a row loop:
+
+  F1 string/enum quote-wrap, no escaping ("pseudo csv",  DataLoad.java:299)
+  F2 float/double exact binary-expansion decimal (BigDecimal(double),
+     ParquetToCsv.java:180-203) — vectorized pandas UDF (the one place
+     Python is required; Arrow-batched, never row-at-a-time)
+  F3 timestamp → ISO-8601 in the session zone with the two 1900-01-01/02
+     sentinel literals (ParquetToCsv.java:55-63, 219-232)
+  F4 decimal passthrough text (ParquetToCsv.java:233-236)
+  F5 uuid canonicalize-or-'unknown' (ParquetToCsv.java:237-246)
+  F6 null → literal "null" text (ParquetToCsv.java:213-218)
+  P2 header names uppercased (ParquetToCsv.java:117-124)
+  R1 delimiter-joined row text (ParquetToCsv.java:101-107)
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+# the reference's two sentinel epochs (ParquetToCsv.java:55-63): these exact
+# strings round-trip verbatim
+SENTINEL_1900_01_01_MS = -2208988800000
+SENTINEL_1900_01_02_MS = -2208902400000
+SENTINEL_1900_01_01 = "1900-01-01T00:00:00.000-00:00"
+SENTINEL_1900_01_02 = "1900-01-02T00:00:00.000-00:00"
+
+_UUID_RE = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+NULL_TEXT = "null"
+
+
+def quote(c: Column) -> Column:
+    """F1: 'value' single-quote wrap; embedded quotes NOT escaped —
+    byte-for-byte the reference's pseudo-csv behavior."""
+    return F.concat(F.lit("'"), c, F.lit("'"))
+
+
+def fmt_null(c: Column) -> Column:
+    """F6: null → the 4 characters ``null``."""
+    return F.coalesce(c, F.lit(NULL_TEXT))
+
+
+@F.pandas_udf(T.StringType())
+def _exact_decimal_str(s: pd.Series) -> pd.Series:
+    # Decimal(float) == Java new BigDecimal(double): the exact binary
+    # expansion, NOT shortest-round-trip (ParquetToCsv.java:180-203 and the
+    # long justification comment there)
+    def one(v):
+        if v is None or pd.isna(v):
+            return None
+        return format(Decimal(float(v)), "f")
+
+    return s.map(one)
+
+
+def fmt_float_exact(c: Column) -> Column:
+    """F2: exact binary-expansion decimal text of float/double."""
+    return fmt_null(_exact_decimal_str(c))
+
+
+def fmt_timestamp_iso(c: Column, quote_it: bool = True) -> Column:
+    """F3: epoch → ISO-8601 with millis + zone offset in the session zone,
+    with the two 1900 sentinels short-circuited to fixed literals."""
+    # cast handles TIMESTAMP_NTZ parquet columns: with the session zone
+    # pinned to UTC the wall-clock is preserved (D2 zone handling analog)
+    t = c.cast("timestamp")
+    ms = (F.unix_micros(t) / 1000).cast("long")
+    iso = F.date_format(t, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+    body = (
+        F.when(ms == SENTINEL_1900_01_01_MS, F.lit(SENTINEL_1900_01_01))
+        .when(ms == SENTINEL_1900_01_02_MS, F.lit(SENTINEL_1900_01_02))
+        .otherwise(iso)
+    )
+    return fmt_null(quote(body) if quote_it else body)
+
+
+def fmt_uuid(c: Column) -> Column:
+    """F5: canonical lowercase uuid or the literal ``unknown``, quoted."""
+    ok = c.rlike(_UUID_RE)
+    return fmt_null(
+        F.when(c.isNull(), F.lit(None)).otherwise(
+            quote(F.when(ok, F.lower(c)).otherwise(F.lit("unknown")))
+        )
+    )
+
+
+def fmt_string(c: Column) -> Column:
+    """F1 + F6 composed: quoted value or bare null text."""
+    return F.when(c.isNull(), F.lit(NULL_TEXT)).otherwise(quote(c))
+
+
+def format_column(df: DataFrame, name: str) -> Column:
+    """Type-directed formatter — the Spark analog of the reference's
+    formatFieldValue dispatch (ParquetToCsv.java:136-251)."""
+    c = F.col(name)
+    dt = dict(df.dtypes)[name]
+    if dt in ("string",):
+        return fmt_string(c)
+    if dt in ("float", "double"):
+        return fmt_float_exact(c)
+    if dt.startswith("timestamp"):
+        return fmt_timestamp_iso(c)
+    if dt.startswith("decimal"):
+        return fmt_null(c.cast("string"))
+    if dt in ("date",):
+        return fmt_null(quote(F.date_format(c, "yyyy-MM-dd")))
+    return fmt_null(c.cast("string"))  # ints, longs, booleans
+
+
+def format_table(df: DataFrame, delimiter: str = ",") -> DataFrame:
+    """Whole-table reference formatting: every column rendered to its CSV
+    text plus a `row_text` delimiter-join (R1). Column names uppercased (P2)."""
+    cols = [format_column(df, n).alias(n.upper()) for n in df.columns]
+    out = df.select(*cols)
+    return out.withColumn("ROW_TEXT", F.concat_ws(delimiter, *[F.col(n.upper()) for n in df.columns]))
+
+
+def parquet_to_csv(spark, in_path: str, out_dir: str, single_file: bool = False) -> None:
+    """Entry-point-A parity (`prq2csv file.parquet` → file.csv,
+    DataLoad.java:298-300): decode parquet, format every field, write CSV
+    with uppercased headers. Empty input → no output files with rows
+    (the reference deletes empty outputs, ParquetToCsv.java:110-113)."""
+    df = spark.read.parquet(in_path)
+    fmt = format_table(df).drop("ROW_TEXT")
+    if single_file:
+        fmt = fmt.coalesce(1)
+    # quote="" disables the CSV writer's own quoting - the reference never
+    # escapes (pseudo-csv, DataLoad.java:299); our F1 quoting is the payload
+    fmt.write.mode("overwrite").option("header", True).option("quote", "").csv(out_dir)

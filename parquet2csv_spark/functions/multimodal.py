@@ -1,0 +1,84 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct; the Spark-side plumbing (schema, partitioning, Arrow batch
+shape, size-capped chunking via the same codecs) is real and tested. The
+actual media decode (pixel/sample extraction) requires codec libraries not
+present in this container and is STUBBED: :func:`decode_media` raises
+``NotImplementedError`` unless ``fake=True``, which produces a
+deterministic fake feature vector so downstream plumbing can be exercised.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_META_DDL = (
+    "media_id bigint, kind string, byte_len int, magic string, sha string"
+)
+
+_MAGIC = {
+    b"\x89PNG": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"RIFF": "riff",
+    b"\x1aE\xdf\xa3": "webm",
+    b"OggS": "ogg",
+}
+
+
+def attach_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Treat a text column's utf-8 bytes as an opaque media payload —
+    the container-safe stand-in for real image/audio bytes."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )
+
+
+def media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata extraction: byte length, magic-sniffed kind, sha256.
+    Pure JVM expressions — runs at scan speed."""
+    p = F.col(payload_col)
+    kind = F.lit("unknown")
+    for magic, name in _MAGIC.items():
+        hexval = magic.hex()
+        kind = F.when(F.hex(F.substring(p, 1, len(magic))) == hexval.upper(), F.lit(name)).otherwise(kind)
+    return df.select(
+        "media_id",
+        F.octet_length(p).cast("int").alias("byte_len"),
+        kind.alias("magic"),
+        F.sha2(p, 256).alias("sha"),
+    )
+
+
+_FEAT_SCHEMA = T.ArrayType(T.FloatType())
+
+
+def decode_media(df: DataFrame, payload_col: str = "payload", *, fake: bool = False,
+                 feature_dim: int = 16) -> DataFrame:
+    """Decode/feature-extract stage. Real decoding needs PIL/ffmpeg (absent
+    here) — STUB. ``fake=True`` yields a deterministic byte-histogram
+    'feature vector' with the exact batch shape a real extractor would have
+    (Arrow-batched pandas UDF over binary), so partitioning/UDF plumbing is
+    fully exercised."""
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires image/audio libraries not present in this "
+            "container; pass fake=True for the deterministic stand-in"
+        )
+
+    @F.pandas_udf(_FEAT_SCHEMA)
+    def feat(payloads: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None:
+                return None
+            arr = np.frombuffer(b, dtype=np.uint8)
+            hist, _ = np.histogram(arr, bins=feature_dim, range=(0, 256))
+            total = max(1, len(arr))
+            return (hist / total).astype(np.float32).tolist()
+
+        return payloads.map(one)
+
+    return df.withColumn("features", feat(F.col(payload_col)))

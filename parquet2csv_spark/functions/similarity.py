@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small)
+  query set, JVM-side dot products via ``aggregate(zip_with(...))``,
+  window top-k. The exactness baseline.
+- :func:`lsh_topk` — the scale path: random-hyperplane signatures
+  (vectorized numpy pandas UDF) bucket the corpus; candidates come from
+  matching buckets (with multi-probe via bands), then exact re-rank.
+  At 10^12 rows the bucket join replaces the O(N·Q) scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+
+def _dot(a, b):
+    # cast BEFORE multiplying: float32*float32 then widen loses the low bits
+    # the double*double DuckDB oracle keeps
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self):
+    (q_id, rank, n_id, cos). Broadcast the query side; ties broken by
+    neighbor id for determinism."""
+    v = vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    cos = (_dot(F.col("q_vec"), F.col("n_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("n_vec")))).alias("_cos")
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", cos)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", F.round("_cos", round_digits).alias("cos"))
+    )
+
+
+_SIG_SCHEMA = T.ArrayType(T.IntegerType())
+
+
+def _hyperplane_udf(dim: int, bits: int, bands: int, seed: int):
+    @F.pandas_udf(_SIG_SCHEMA)
+    def sig(embs: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, bits)).astype(np.float32)
+        per_band = bits // bands
+
+        def one(v):
+            if v is None:
+                return None
+            x = np.asarray(v, dtype=np.float32)
+            b = (x @ planes > 0).astype(np.int64)
+            out = []
+            for i in range(bands):
+                seg = b[i * per_band : (i + 1) * per_band]
+                out.append(int((seg << np.arange(per_band)).sum()))
+            return out
+
+        return embs.map(one)
+
+    return sig
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 48,
+    bands: int = 6,
+    seed: int = 42,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: match on any LSH band bucket, exact re-rank of
+    candidates. Recall measured against cosine_topk in tests."""
+    sig = _hyperplane_udf(dim, bits, bands, seed)
+    v = vectors.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), sig(F.col(vec_col)).alias("n_sig")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), sig(F.col(vec_col)).alias("q_sig")
+    )
+    vb = v.select("n_id", "n_vec", F.posexplode("n_sig").alias("band", "bucket"))
+    qb = q.select("q_id", "q_vec", F.posexplode("q_sig").alias("band", "bucket"))
+    cands = (
+        vb.join(F.broadcast(qb), ["band", "bucket"])
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "q_vec", "n_id", "n_vec")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    cos = (_dot(F.col("q_vec"), F.col("n_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("n_vec")))).alias("_cos")
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("n_id"))
+    return (
+        cands.select("q_id", "n_id", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", F.round("_cos", round_digits).alias("cos"))
+    )

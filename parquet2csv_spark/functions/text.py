@@ -1,0 +1,131 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are built-in Spark SQL functions (JVM, whole-stage codegen);
+the rolling-hash fingerprint is the one numpy pandas-UDF (Arrow-batched).
+Every function returns plain DataFrames so Catalyst can push filters and
+prune columns through them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+# language-id heuristic: tiny per-language stopword sets (deterministic,
+# SQL-expressible so the DuckDB oracle can replicate exactly)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "und", "das", "nicht", "ist"],
+    "fr": ["le", "la", "les", "et", "des", "une"],
+    "es": ["el", "los", "que", "una", "por", "con"],
+}
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace-delimited token count (no empty tokens)."""
+    return F.size(F.regexp_extract_all(c, F.lit(r"\S+"), 0))
+
+
+def word_count(c: Column, word: str) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(rf"\b{word}\b"), 0))
+
+
+def stopword_hits(c: Column, lang: str) -> Column:
+    words = "|".join(LANG_STOPWORDS[lang])
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(rf"\b({words})\b"), 0))
+
+
+def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword-ratio language id: argmax of per-language stopword
+    hit counts (ties → lexicographically first language, deterministic)."""
+    c = F.col(text_col)
+    hit_cols = [stopword_hits(c, lg).alias(f"hits_{lg}") for lg in sorted(LANG_STOPWORDS)]
+    scored = df.select("*", *hit_cols)
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pick = F.lit("unknown")
+    for lg in reversed(langs):  # earlier langs win ties: apply last
+        pick = F.when((F.col(f"hits_{lg}") == best) & (best > 0), F.lit(lg)).otherwise(pick)
+    return scored.withColumn("lang_pred", pick)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, tokens, mean token length,
+    punctuation ratio, uppercase ratio, stopword ratio — plus a composed
+    [0,1] quality score."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tok = token_count(c)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[\.,;:!\?]"), 0))
+    n_upper = F.size(F.regexp_extract_all(c, F.lit(r"[A-Z]"), 0))
+    n_stop = stopword_hits(c, "en")
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    mean_tok_len = ((n_chars - n_tok + 1) / safe_tok).cast("double")
+    punct_ratio = (n_punct / safe_chars).cast("double")
+    upper_ratio = (n_upper / safe_chars).cast("double")
+    stop_ratio = (n_stop / safe_tok).cast("double")
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * 0.3
+    ).cast("double")
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tok.alias("q_tokens"),
+        F.round(mean_tok_len, 4).alias("q_mean_tok_len"),
+        F.round(punct_ratio, 4).alias("q_punct_ratio"),
+        F.round(upper_ratio, 4).alias("q_upper_ratio"),
+        F.round(stop_ratio, 4).alias("q_stop_ratio"),
+        F.round(score, 4).alias("q_score"),
+    )
+
+
+def char_ngrams(c: Column, n: int = 3) -> Column:
+    """Array of all character n-grams (SQL-expressible: sequence+transform)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: c.substr(i, F.lit(n)))
+
+
+def fingerprint_md5(df: DataFrame, key_cols: list[str], text_col: str = "text") -> DataFrame:
+    """Whole-document fingerprint (md5 hex) — the cheap exact-dup key."""
+    return df.select(*key_cols, F.md5(F.col(text_col)).alias("fp_md5"))
+
+
+_WINNOW_SCHEMA = T.ArrayType(T.LongType())
+
+
+@F.pandas_udf(_WINNOW_SCHEMA)
+def _winnow_udf(texts: pd.Series) -> pd.Series:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003): rolling
+    polynomial hash over k-grams, minimum per sliding window. Vectorized
+    numpy per document (bytes-level, no per-char Python)."""
+    K, W, MOD, B = 8, 16, (1 << 61) - 1, 257
+
+    def one(t):
+        if t is None:
+            return None
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+        n = len(b)
+        if n < K:
+            return []
+        # k-gram polynomial hashes via prefix sums in O(n) vector ops
+        powers = np.power(B, np.arange(K, dtype=np.int64), dtype=object)  # exact
+        # windowed dot product: hash[i] = sum b[i+j]*B^(K-1-j) mod MOD
+        h = np.zeros(n - K + 1, dtype=object)
+        for j in range(K):  # K=8 vector passes, not per-char Python
+            h = h + b[j : n - K + 1 + j] * int(powers[K - 1 - j])
+        h = (h % MOD).astype(np.int64)
+        if len(h) <= W:
+            return [int(h.min())]
+        win = np.lib.stride_tricks.sliding_window_view(h, W)
+        mins = win.min(axis=1)
+        return np.unique(mins).tolist()
+
+    return texts.map(one)
+
+
+def fingerprint_winnow(df: DataFrame, key_cols: list[str], text_col: str = "text") -> DataFrame:
+    return df.select(*key_cols, _winnow_udf(F.col(text_col)).alias("fp_winnow"))

@@ -38,7 +38,7 @@ from ..codecs import raw_size, selector
 
 CHUNKS_DDL = (
     "chunk_id string, group_key string, seq bigint, n_rows bigint, "
-    "raw_bytes bigint, enc_bytes bigint, "
+    "raw_bytes bigint, enc_bytes bigint, wall_ms bigint, "
     "cols array<struct<name:string, codec:string, n:bigint, null_count:bigint, "
     "raw_bytes:bigint, enc_bytes:bigint, frame:binary>>"
 )
@@ -62,12 +62,13 @@ CHUNKS_ARROW = pa.schema(
         ("n_rows", pa.int64()),
         ("raw_bytes", pa.int64()),
         ("enc_bytes", pa.int64()),
+        ("wall_ms", pa.int64()),
         ("cols", pa.list_(COL_STRUCT)),
     ]
 )
 
 DEFAULT_CHUNK_ROWS = 65536
-DEFAULT_CHUNK_BYTES = 16 << 20
+DEFAULT_CHUNK_BYTES = 8 << 20
 
 
 # --------------------------------------------------------------- chunk core
@@ -108,13 +109,17 @@ def split_points(tbl: pa.Table, chunk_rows: int, chunk_bytes: int) -> list[tuple
 
 
 def encode_chunk(tbl: pa.Table, chunk_id: str, group_key: str, seq: int,
-                 specs: dict[str, str] | None = None) -> dict:
+                 specs: dict[str, str] | None = None,
+                 ctx: dict | None = None) -> dict:
     """Encode one row-chunk into a single chunks-table row (plain dict)."""
+    import time as _time
+
+    t_start = _time.perf_counter()
     cols = []
     t_raw = t_enc = 0
     for name in tbl.column_names:
         arr = tbl[name].combine_chunks()
-        spec, frame = selector.encode_best(arr, (specs or {}).get(name))
+        spec, frame = selector.encode_best(arr, (specs or {}).get(name), ctx, name)
         rb = raw_size(arr)
         t_raw += rb
         t_enc += len(frame)
@@ -136,6 +141,7 @@ def encode_chunk(tbl: pa.Table, chunk_id: str, group_key: str, seq: int,
         "n_rows": tbl.num_rows,
         "raw_bytes": t_raw,
         "enc_bytes": t_enc,
+        "wall_ms": int((_time.perf_counter() - t_start) * 1000),
         "cols": cols,
     }
 
@@ -163,13 +169,14 @@ def encode_table(
         pending_rows = 0
         pending_bytes = 0
         seq = 0
+        ctx: dict = {}
 
         def flush(tbl: pa.Table):
             nonlocal seq
             rows = []
             for off, ln in split_points(tbl, chunk_rows, chunk_bytes):
                 piece = tbl.slice(off, ln)
-                row = encode_chunk(piece, "", "", seq, specs)
+                row = encode_chunk(piece, "", "", seq, specs, ctx)
                 h = hashlib.sha1()
                 for c in row["cols"]:
                     h.update(c["frame"])
@@ -209,16 +216,14 @@ def _size_expr(df: DataFrame):
     return expr
 
 
-def encode_grouped(
+def salt_groups(
     df: DataFrame,
     group_cols: list[str],
     order_cols: list[str],
-    chunk_rows: int = DEFAULT_CHUNK_ROWS,
     chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-    group_factor: int = 4,
-    specs: dict[str, str] | None = None,
+    group_factor: int = 2,
 ) -> DataFrame:
-    """Skew-safe deterministic grouped encode (the north_rule path).
+    """Stage 1 of the grouped encode: append the salted group key ``_gk``.
 
     1. Aggregate per-group logical bytes (small: one row per group).
     2. ``nsalts = ceil(bytes / (group_factor × chunk_bytes))`` — a giant
@@ -226,8 +231,9 @@ def encode_grouped(
        ~``group_factor`` chunks, BEFORE any shuffle (explicit salting +
        size-capped splitting, not AQE backstop — SURVEY.md §4.2).
     3. Broadcast-join the salt counts, salt on ``xxhash64(order cols)``.
-    4. One shuffle on the salted key; each group is sorted, split at caps,
-       encoded. Chunk id = ``group_key:seq`` (deterministic → exact resume).
+
+    Exposed separately so plans.lineage can anti-join completed group keys
+    before any encode work happens (exact resume).
     """
     target = group_factor * chunk_bytes
     sizes = (
@@ -239,7 +245,7 @@ def encode_grouped(
         )
         .drop("_gbytes")
     )
-    salted = (
+    return (
         df.join(F.broadcast(sizes), on=group_cols, how="inner")
         .withColumn(
             "_gk",
@@ -252,7 +258,18 @@ def encode_grouped(
         .drop("_nsalts")
     )
 
-    data_cols = df.columns
+
+def encode_salted(
+    salted: DataFrame,
+    order_cols: list[str],
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    specs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Stage 2: one shuffle on ``_gk``; each group is sorted by the order
+    columns, split at row/byte caps, and encoded. Chunk id =
+    ``group_key:seq`` — deterministic, so re-running a group is idempotent."""
+    data_cols = [c for c in salted.columns if c != "_gk"]
 
     def enc_group(tbl: pa.Table) -> pa.Table:
         gk = tbl["_gk"][0].as_py() if tbl.num_rows else ""
@@ -262,12 +279,28 @@ def encode_grouped(
         )
         body = body.take(order_idx)
         rows = []
+        ctx: dict = {}
         for seq, (off, ln) in enumerate(split_points(body, chunk_rows, chunk_bytes)):
             piece = body.slice(off, ln)
-            rows.append(encode_chunk(piece, f"{gk}:{seq:06d}", gk, seq, specs))
+            rows.append(encode_chunk(piece, f"{gk}:{seq:06d}", gk, seq, specs, ctx))
         return pa.Table.from_batches([_rows_to_batch(rows)], schema=CHUNKS_ARROW)
 
     return salted.groupBy("_gk").applyInArrow(enc_group, CHUNKS_DDL)
+
+
+def encode_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    group_factor: int = 2,
+    specs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Skew-safe deterministic grouped encode (the north_rule path):
+    :func:`salt_groups` → :func:`encode_salted`."""
+    salted = salt_groups(df, group_cols, order_cols, chunk_bytes, group_factor)
+    return encode_salted(salted, order_cols, chunk_rows, chunk_bytes, specs)
 
 
 def chunk_metrics(chunks_df: DataFrame) -> DataFrame:

@@ -1,0 +1,170 @@
+"""Lineage + exact resume of partially completed encode jobs (north_star).
+
+Every completed group emits a lineage record (input snapshot id, group key,
+chunk count/range, codecs, bytes, wall-time) to a checkpoint table. A re-run
+of the same (snapshot, job) anti-joins the pending salted groups against
+the checkpoint and encodes ONLY the missing ones — exact resume. This is
+batch state the reference has no analog for (it reprocesses whole files,
+DataLoad.java:256-304); SURVEY.md §2.2 maps it to the joins/set-ops rows.
+
+Crash-consistency model (no transactional catalog needed in the sandbox;
+Iceberg's atomic append is the production drop-in):
+  1. chunk files for a run are written under ``chunks/run=<run_id>/``;
+  2. lineage rows for the run are appended only AFTER the chunk write
+     completes (write-ahead of data, commit = lineage append);
+  3. a crash between (1) and (2) leaves orphan chunk files; readers join
+     chunks against lineage (status='done') so orphans are invisible, and
+     the next resume re-encodes those groups deterministically
+     (chunk_id = group_key:seq, byte-identical frames modulo codec
+     determinism — verified in tests).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.encode import (
+    DEFAULT_CHUNK_BYTES,
+    DEFAULT_CHUNK_ROWS,
+    encode_salted,
+    salt_groups,
+)
+
+LINEAGE_DDL = (
+    "snapshot_id string, job_id string, run_id string, group_key string, "
+    "n_chunks bigint, n_rows bigint, raw_bytes bigint, enc_bytes bigint, "
+    "wall_ms bigint, codecs string, status string, committed_at timestamp"
+)
+
+
+class EncodeJob:
+    """A resumable encode of one table snapshot into a chunks directory.
+
+    Layout under ``out_dir``:
+      chunks/run=<run_id>/*.parquet   — chunk rows (CHUNKS_DDL)
+      lineage/*.parquet               — LINEAGE_DDL records
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        snapshot_id: str,
+        job_id: str = "encode",
+        group_cols: list[str] | None = None,
+        order_cols: list[str] | None = None,
+        chunk_rows: int = DEFAULT_CHUNK_ROWS,
+        chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    ):
+        self.spark = spark
+        self.out_dir = out_dir.rstrip("/")
+        self.snapshot_id = snapshot_id
+        self.job_id = job_id
+        self.group_cols = group_cols or ["repo"]
+        self.order_cols = order_cols or ["path", "commit"]
+        self.chunk_rows = chunk_rows
+        self.chunk_bytes = chunk_bytes
+
+    # ------------------------------------------------------------ lineage io
+
+    def lineage(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(f"{self.out_dir}/lineage")
+        except Exception:
+            return self.spark.createDataFrame([], LINEAGE_DDL)
+
+    def done_groups(self) -> DataFrame:
+        return (
+            self.lineage()
+            .filter(
+                (F.col("snapshot_id") == self.snapshot_id)
+                & (F.col("job_id") == self.job_id)
+                & (F.col("status") == "done")
+            )
+            .select(F.col("group_key").alias("_gk"))
+            .distinct()
+        )
+
+    # --------------------------------------------------------------- running
+
+    def run(self, df: DataFrame, only_groups_like: str | None = None) -> dict:
+        """Encode all groups not yet committed. Returns driver-side summary.
+
+        ``only_groups_like``: test hook — restrict THIS run to pending
+        groups whose key contains the substring, simulating a job that
+        crashed after committing only part of its groups (same snapshot →
+        same salting → the next run picks up exactly the rest).
+        """
+        run_id = uuid.uuid4().hex[:12]
+        t0 = time.time()
+        salted = salt_groups(
+            df, self.group_cols, self.order_cols, self.chunk_bytes
+        )
+        pending = salted.join(self.done_groups(), on="_gk", how="left_anti")
+        if only_groups_like is not None:
+            pending = pending.filter(F.col("_gk").contains(only_groups_like))
+        chunks = encode_salted(
+            pending, self.order_cols, self.chunk_rows, self.chunk_bytes
+        )
+        chunks.write.mode("append").parquet(f"{self.out_dir}/chunks/run={run_id}")
+
+        # commit: lineage rows derived FROM the persisted chunk files
+        written = self.spark.read.parquet(f"{self.out_dir}/chunks/run={run_id}")
+        stats = written.groupBy("group_key").agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.sum("wall_ms").alias("wall_ms"),
+        )
+        codecs = (
+            written.select("group_key", F.explode("cols").alias("c"))
+            .groupBy("group_key")
+            .agg(F.concat_ws(",", F.sort_array(F.collect_set("c.codec"))).alias("codecs"))
+        )
+        lineage_rows = (
+            stats.join(codecs, on="group_key")
+            .select(
+                F.lit(self.snapshot_id).alias("snapshot_id"),
+                F.lit(self.job_id).alias("job_id"),
+                F.lit(run_id).alias("run_id"),
+                "group_key", "n_chunks", "n_rows", "raw_bytes", "enc_bytes",
+                "wall_ms", "codecs",
+                F.lit("done").alias("status"),
+                F.current_timestamp().alias("committed_at"),
+            )
+        )
+        lineage_rows.write.mode("append").parquet(f"{self.out_dir}/lineage")
+        done = self.lineage().filter(
+            (F.col("snapshot_id") == self.snapshot_id) & (F.col("status") == "done")
+        )
+        agg = done.agg(
+            F.count("*").alias("groups"),
+            F.sum("n_rows").alias("rows"),
+            F.sum("raw_bytes").alias("raw"),
+            F.sum("enc_bytes").alias("enc"),
+        ).first()
+        return {
+            "run_id": run_id,
+            "wall_s": time.time() - t0,
+            "groups_done": agg["groups"],
+            "rows": agg["rows"],
+            "raw_bytes": agg["raw"],
+            "enc_bytes": agg["enc"],
+        }
+
+    # --------------------------------------------------------------- reading
+
+    def chunks(self) -> DataFrame:
+        """Committed chunks only: join against done lineage and drop
+        duplicate chunk ids (orphans from crashed runs are invisible;
+        a group committed twice resolves to one copy)."""
+        all_chunks = self.spark.read.parquet(f"{self.out_dir}/chunks")
+        committed = self.done_groups().withColumnRenamed("_gk", "group_key")
+        return (
+            all_chunks.join(F.broadcast(committed), on="group_key", how="left_semi")
+            .dropDuplicates(["chunk_id"])
+        )

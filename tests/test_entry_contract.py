@@ -1,0 +1,34 @@
+"""Driver-contract smoke: entry() runs and every oracle key has a query."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+
+def test_entry_flagship(spark):
+    df = entry.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    total = sum(r["n_docs"] for r in rows)
+    matched = sum(r["n_sha_match"] for r in rows)
+    null_texts = 0  # sha of null text is null → not counted as match
+    assert matched <= total
+    # bit-identity: every non-null text must match
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_nonnull = docs.filter(F.col("text").isNotNull()).count()
+    assert matched == n_nonnull
+
+
+def test_queries_and_oracles_align():
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert set(oracles) <= set(qs), set(oracles) - set(qs)
+    # the engine's core operators all have exact oracles
+    for must in [
+        "roundtrip_documents", "roundtrip_lineitem", "roundtrip_events",
+        "encode_verify_documents", "agg_pricing_summary", "dedup_exact_documents",
+        "ann_cosine_topk", "simhash_documents",
+    ]:
+        assert must in oracles, must

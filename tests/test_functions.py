@@ -1,0 +1,201 @@
+"""Tests for formatting parity (F1-F6), text analysis, dedup, similarity,
+multimodal plumbing — the operator surface beyond the codec engine."""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from parquet2csv_spark.functions import formatting as fmt
+from parquet2csv_spark.functions import multimodal as mm
+from parquet2csv_spark.functions import similarity as sim
+from parquet2csv_spark.functions import text as tx
+from parquet2csv_spark.functions.dedup import (
+    all_pairs_jaccard,
+    exact_dups,
+    minhash_near_dups,
+    minhash_signatures,
+    simhash64,
+)
+
+
+# ------------------------------------------------------------- formatting
+
+def test_fmt_string_quote_and_null(spark):
+    df = spark.createDataFrame([("a",), (None,), ("it's",)], "v string")
+    out = [r[0] for r in df.select(fmt.fmt_string(F.col("v"))).collect()]
+    assert out == ["'a'", "null", "'it's'"]  # embedded quote NOT escaped
+
+
+def test_fmt_float_exact_binary_expansion(spark):
+    df = spark.createDataFrame([(0.1,), (None,), (2.0,)], "v double")
+    out = [r[0] for r in df.select(fmt.fmt_float_exact(F.col("v"))).collect()]
+    # Java: new BigDecimal(0.1d).toString()
+    assert out[0] == "0.1000000000000000055511151231257827021181583404541015625"
+    assert out[1] == "null"
+    assert out[2] == "2"
+
+
+def test_fmt_timestamp_sentinels_and_iso(spark):
+    ts1 = datetime.datetime(1900, 1, 1, 0, 0, 0)
+    ts2 = datetime.datetime(1900, 1, 2, 0, 0, 0)
+    ts3 = datetime.datetime(2024, 3, 1, 12, 30, 45, 123000)
+    df = spark.createDataFrame([(ts1,), (ts2,), (ts3,), (None,)], "v timestamp")
+    out = [r[0] for r in df.select(fmt.fmt_timestamp_iso(F.col("v"))).collect()]
+    assert out[0] == f"'{fmt.SENTINEL_1900_01_01}'"
+    assert out[1] == f"'{fmt.SENTINEL_1900_01_02}'"
+    assert out[2] == "'2024-03-01T12:30:45.123Z'"
+    assert out[3] == "null"
+
+
+def test_fmt_uuid(spark):
+    df = spark.createDataFrame(
+        [("123E4567-E89B-12D3-A456-426614174000",), ("nope",), (None,)], "v string"
+    )
+    out = [r[0] for r in df.select(fmt.fmt_uuid(F.col("v"))).collect()]
+    assert out == ["'123e4567-e89b-12d3-a456-426614174000'", "'unknown'", "null"]
+
+
+def test_format_table_headers_and_rowtext(spark):
+    df = spark.createDataFrame([Row(id=1, name="x")])
+    out = fmt.format_table(df)
+    assert out.columns == ["ID", "NAME", "ROW_TEXT"]
+    r = out.first()
+    assert r["ROW_TEXT"] == "1,'x'"
+
+
+def test_parquet_to_csv_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out_csv")
+    spark.createDataFrame([(1, "a"), (2, None)], "id bigint, name string").write.parquet(src)
+    fmt.parquet_to_csv(spark, src, out, single_file=True)
+    back = spark.read.option("header", True).csv(out)
+    assert back.columns == ["ID", "NAME"]
+    vals = {r["ID"]: r["NAME"] for r in back.collect()}
+    assert vals == {"1": "'a'", "2": "null"}
+
+
+# ------------------------------------------------------------------- text
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame([("the cat sat, on the mat.",), ("",)], "text string")
+    out = df.select(tx.token_count(F.col("text")).alias("n")).collect()
+    assert out[0]["n"] == 6 and out[1]["n"] == 0
+    q = tx.quality_features(df).first()
+    assert q["q_tokens"] == 6 and q["q_punct_ratio"] > 0 and 0 <= q["q_score"] <= 1
+
+
+def test_langid(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is here",), ("der hund und die katze ist da",), ("zzz qqq",)],
+        "text string",
+    )
+    out = [r["lang_pred"] for r in tx.langid(df).collect()]
+    assert out == ["en", "de", "unknown"]
+
+
+def test_winnow_fingerprints_detect_overlap(spark):
+    base = "def f(x):\n    return x + 1\n" * 10
+    df = spark.createDataFrame(
+        [(1, base + "tail_a"), (2, base + "tail_b"), (3, "completely unrelated text " * 12)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: set(r["fp_winnow"]) for r in tx.fingerprint_winnow(df, ["doc_id"]).collect()}
+    overlap_near = len(rows[1] & rows[2]) / len(rows[1] | rows[2])
+    overlap_far = len(rows[1] & rows[3]) / len(rows[1] | rows[3])
+    assert overlap_near > 0.5 and overlap_far < 0.1
+
+
+# ------------------------------------------------------------------ dedup
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog "
+    rows = [
+        (0, base * 5),
+        (1, base * 5),                      # exact dup of 0
+        (2, base * 5 + "small change"),      # near dup of 0
+        (3, "totally different content with other words entirely " * 3),
+        (4, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dups(spark, docs):
+    out = {r["keep_id"]: r["dup_count"] for r in exact_dups(docs, "doc_id").collect()}
+    assert out[0] == 2  # docs 0,1 collapse; survivor = min id
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r["key_a"], r["key_b"]): r["jaccard"]
+        for r in minhash_near_dups(docs, "doc_id", n=3, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_similarity_estimate(spark, docs):
+    sigs = {r["key"]: r["sig"] for r in minhash_signatures(docs, "doc_id", num_perm=64).collect()}
+    est_01 = sum(a == b for a, b in zip(sigs[0], sigs[1])) / 64
+    est_03 = sum(a == b for a, b in zip(sigs[0], sigs[3])) / 64
+    assert est_01 == 1.0 and est_03 < 0.3
+
+
+def test_simhash_hamming(spark, docs):
+    out = {r["key"]: r["simhash"] for r in simhash64(docs, "doc_id").collect()}
+    assert out[0] == out[1]
+    ham_02 = bin(out[0] ^ out[2]).count("1")
+    ham_03 = bin(out[0] ^ out[3]).count("1")
+    assert ham_02 < ham_03
+
+
+def test_all_pairs_jaccard(spark, docs):
+    pairs = {(r["key_a"], r["key_b"]): r["jaccard"] for r in all_pairs_jaccard(docs, "doc_id", threshold=0.4).collect()}
+    assert pairs[(0, 1)] == 1.0 and (0, 2) in pairs
+
+
+# ------------------------------------------------------------- similarity
+
+def test_cosine_topk_exact_and_lsh_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((40, 16)).astype("float32")
+    base[1] = base[0] + 0.01 * rng.standard_normal(16).astype("float32")  # near neighbor
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 3)
+    exact = sim.cosine_topk(df, q, k=5)
+    got = {(r["q_id"], r["rank"]): r["n_id"] for r in exact.collect()}
+    assert got[(0, 1)] == 1 and got[(1, 1)] == 0  # the planted neighbor
+    approx = sim.lsh_topk(df, q, dim=16, k=5, bits=64, bands=16)
+    ex_sets = {}
+    for r in exact.collect():
+        ex_sets.setdefault(r["q_id"], set()).add(r["n_id"])
+    ap_sets = {}
+    for r in approx.collect():
+        ap_sets.setdefault(r["q_id"], set()).add(r["n_id"])
+    recall = sum(len(ex_sets[k_] & ap_sets.get(k_, set())) for k_ in ex_sets) / sum(
+        len(v) for v in ex_sets.values()
+    )
+    assert recall >= 0.5, recall
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_multimodal_metadata_and_stub(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, None)], "doc_id long, text string")
+    b = mm.attach_binary(df, "text", "doc_id")
+    meta = {r["media_id"]: r for r in mm.media_metadata(b).collect()}
+    assert meta[1]["byte_len"] == 5 and meta[1]["magic"] == "unknown"
+    assert meta[2]["byte_len"] is None
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b)
+    feats = {r["media_id"]: r["features"] for r in mm.decode_media(b, fake=True).collect()}
+    assert len(feats[1]) == 16 and abs(sum(feats[1]) - 1.0) < 1e-5
+    assert feats[2] is None

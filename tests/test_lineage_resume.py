@@ -1,0 +1,81 @@
+"""Lineage + exact-resume tests (SURVEY.md §5.2-5) and skew-cap tests (§5.2-6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet2csv_spark.operators import decode_table, multiset_diff
+from parquet2csv_spark.operators.encode import salt_groups
+from parquet2csv_spark.plans.lineage import EncodeJob
+from parquet2csv_spark.sources.corpus import CORPUS_DDL, generate_corpus
+
+N_ROWS = 6000
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = generate_corpus(spark, N_ROWS, seed=42)
+    df.cache().count()
+    return df
+
+
+def test_resume_encodes_only_missing_groups(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("job"))
+    job = EncodeJob(spark, out, snapshot_id="snap1", chunk_rows=1024, chunk_bytes=1 << 20)
+
+    # simulated crash: first run commits only groups whose key contains '0'
+    r1 = job.run(corpus, only_groups_like="0")
+    assert 0 < r1["groups_done"]
+
+    # second run completes the rest; first-run groups must NOT be re-encoded
+    r2 = job.run(corpus)
+    lin = job.lineage()
+    assert lin.filter(F.col("run_id") == r2["run_id"]).join(
+        lin.filter(F.col("run_id") == r1["run_id"]).select("group_key"),
+        on="group_key",
+    ).count() == 0
+
+    # decode from committed chunks = bit-identical corpus
+    dec = decode_table(job.chunks(), CORPUS_DDL)
+    assert multiset_diff(corpus, dec).count() == 0
+
+    # a third run is a no-op (fully committed)
+    done_before = job.done_groups().count()
+    r3 = job.run(corpus)
+    assert job.lineage().filter(F.col("run_id") == r3["run_id"]).count() == 0
+    assert job.done_groups().count() == done_before
+
+
+def test_lineage_records_metrics(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("job2"))
+    job = EncodeJob(spark, out, snapshot_id="snapA", chunk_rows=2048)
+    job.run(corpus)
+    lin = job.lineage()
+    row = lin.orderBy(F.desc("raw_bytes")).first()
+    assert row["status"] == "done"
+    assert row["raw_bytes"] > 0 and row["enc_bytes"] > 0
+    assert row["wall_ms"] >= 0
+    assert row["codecs"]  # codec tags recorded per group
+    assert row["committed_at"] is not None
+
+
+def test_salting_caps_group_bytes(spark, corpus):
+    """One repo holds >35% of rows; post-salting no group may exceed
+    the target group size by more than one max-row overshoot."""
+    chunk_bytes = 1 << 20
+    salted = salt_groups(corpus, ["repo"], ["path", "commit"], chunk_bytes=chunk_bytes, group_factor=1)
+    sizes = (
+        salted.groupBy("_gk")
+        .agg(F.sum(F.coalesce(F.octet_length("content"), F.lit(0)) + 64).alias("gbytes"))
+    )
+    target = chunk_bytes
+    # statistical salting: allow 2x headroom over the target + one max row
+    over = sizes.filter(F.col("gbytes") > 2 * target + 66000).count()
+    assert over == 0
+    # the giant repo actually got split into many salted groups
+    giant = (
+        corpus.groupBy("repo").count().orderBy(F.desc("count")).first()["repo"]
+    )
+    n_giant_groups = salted.filter(F.col("repo") == giant).select("_gk").distinct().count()
+    assert n_giant_groups > 2

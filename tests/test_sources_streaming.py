@@ -1,0 +1,117 @@
+"""Catalog snapshot pinning, schema io parity (K2-K5), streaming
+incremental encode."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from parquet2csv_spark.operators import decode_table, multiset_diff
+from parquet2csv_spark.sources.catalog import ParquetDirCatalog, open_catalog
+from parquet2csv_spark.sources.corpus import CORPUS_DDL, generate_corpus
+from parquet2csv_spark.sources.schema_io import (
+    export_schema_json,
+    schema_from_json,
+    schema_to_json,
+    write_one_row_schema_file,
+    write_schema_only_parquet,
+)
+from parquet2csv_spark.streaming.incremental import incremental_encode
+
+
+def test_catalog_snapshot_pinning(spark, tmp_path):
+    p = str(tmp_path / "t")
+    spark.range(10).write.parquet(p)
+    cat = open_catalog(spark)
+    assert isinstance(cat, ParquetDirCatalog)  # no Iceberg jar in sandbox
+    snap = cat.snapshot(p)
+    assert cat.read(snap).count() == 10
+    # mutate the table → pinned read must fail loudly
+    time.sleep(1.1)  # mtime resolution
+    spark.range(5).write.mode("overwrite").parquet(p)
+    with pytest.raises(RuntimeError, match="mutated"):
+        cat.read(snap)
+
+
+def test_schema_json_roundtrip_with_dollar_names(spark):
+    schema = T.StructType(
+        [
+            T.StructField("ID$", T.LongType(), False),
+            T.StructField("PRIMARY_KEY_VAL$", T.StringType(), True),
+            T.StructField("CREATED_DATE$", T.TimestampType(), True),
+            T.StructField("SOURCE_SCN$", T.DecimalType(30, 0), True),
+            T.StructField("SQL_OPERATION$", T.StringType(), True),
+        ]
+    )
+    text = schema_to_json(schema)
+    assert schema_from_json(text) == schema  # K4 → K5 identity, $ names intact
+
+
+def test_export_schema_json_and_schema_only_parquet(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "a")], "id bigint, name string").write.parquet(src)
+    out_json = str(tmp_path / "schema.json")
+    export_schema_json(spark, src, out_json)
+    schema = schema_from_json(open(out_json).read())
+    assert [f.name for f in schema.fields] == ["id", "name"]
+    # K3: zero-row schema-carrying parquet
+    footer_only = str(tmp_path / "footer_only")
+    write_schema_only_parquet(spark, schema, footer_only)
+    back = spark.read.parquet(footer_only)
+    assert back.count() == 0 and back.schema == schema
+
+
+def test_one_row_schema_file(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("ID$", T.LongType(), True),
+            T.StructField("SQL_OPERATION$", T.StringType(), True),
+            T.StructField("CREATED_DATE$", T.TimestampType(), True),
+        ]
+    )
+    out = str(tmp_path / "one_row")
+    write_one_row_schema_file(spark, schema, out, overrides={"SQL_OPERATION$": "INSERT"})
+    back = spark.read.parquet(out)
+    row = back.first()
+    assert back.count() == 1
+    assert row["ID$"] == 0 and row["SQL_OPERATION$"] == "INSERT"
+    # reference write config: gzip, dictionary off
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert files and ".gz." in files[0]
+
+
+def test_streaming_incremental_encode(spark, tmp_path):
+    in_dir = str(tmp_path / "incoming")
+    out_dir = str(tmp_path / "encoded")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    batch1 = generate_corpus(spark, 1000, seed=42)
+    batch1.write.mode("append").parquet(in_dir)
+    q = incremental_encode(
+        spark, in_dir, CORPUS_DDL, out_dir, ckpt,
+        group_cols=["repo"], order_cols=["path", "commit"], chunk_rows=512,
+    )
+    q.awaitTermination(120)
+
+    batch2 = generate_corpus(spark, 2000, seed=43)
+    batch2.write.mode("append").parquet(in_dir)
+    q2 = incremental_encode(
+        spark, in_dir, CORPUS_DDL, out_dir, ckpt,
+        group_cols=["repo"], order_cols=["path", "commit"], chunk_rows=512,
+    )
+    q2.awaitTermination(120)
+
+    from parquet2csv_spark.plans.lineage import EncodeJob
+
+    # all committed chunks across both micro-batches decode to batch1+batch2
+    job = EncodeJob(spark, out_dir, snapshot_id="unused")
+    all_chunks = spark.read.parquet(f"{out_dir}/chunks")
+    lin = spark.read.parquet(f"{out_dir}/lineage")
+    assert lin.select("snapshot_id").distinct().count() >= 2
+    dec = decode_table(all_chunks, CORPUS_DDL)
+    expected = batch1.unionByName(batch2)
+    assert multiset_diff(expected, dec).count() == 0

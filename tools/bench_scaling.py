@@ -1,0 +1,106 @@
+"""Scaling study: the same encode job at two parallelism levels.
+
+The north_rule's two-cluster-size criterion (N vs 4N executors) is
+evidenced in this sandbox by running the identical job at local[8] and
+local[32] on the same materialized input (BASELINE.md protocol: input
+page-cached, median of 3 timed runs after 1 warm-up per level).
+Writes BENCH/BASELINE.md and prints a JSON summary.
+
+Each level runs in a fresh subprocess so the JVM/executor pool is sized
+exactly to the level (a shared session would reuse worker threads).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
+WORK = "/tmp/p2c_scaling"
+
+_CHILD = r"""
+import json, statistics, sys, time
+sys.path.insert(0, ".")
+from pyspark.sql import functions as F
+from parquet2csv_spark.session import get_spark
+from parquet2csv_spark.operators import encode_grouped
+
+cpus = int(sys.argv[1]); corpus_path = sys.argv[2]; reps = int(sys.argv[3])
+spark = get_spark(cpus=cpus, app=f"scaling-{cpus}")
+corpus = spark.read.parquet(corpus_path)
+logical = corpus.agg(F.sum(F.coalesce(F.octet_length("content"), F.lit(0))
+    + F.octet_length("repo") + F.octet_length("path")
+    + F.octet_length("commit") + F.octet_length("lang"))).first()[0]
+
+def once():
+    t0 = time.time()
+    encode_grouped(corpus, ["repo"], ["path", "commit"]).agg(F.sum("enc_bytes")).first()
+    return time.time() - t0
+
+once()  # warm-up
+secs = statistics.median(once() for _ in range(reps))
+print("RESULT " + json.dumps({"cpus": cpus, "secs": secs, "logical": int(logical)}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, corpus_path: str, reps: int = 3) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", _CHILD, str(cpus), corpus_path, str(reps)],
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    raise RuntimeError(f"level {cpus} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    sys.path.insert(0, ".")
+    from parquet2csv_spark.session import get_spark
+    from parquet2csv_spark.sources.corpus import write_corpus
+
+    corpus_path = f"{WORK}/corpus"
+    spark = get_spark(cpus=16, app="scaling-gen")
+    write_corpus(spark, corpus_path, ROWS, seed=42)
+    spark.stop()
+    # pin input to page cache
+    subprocess.run(["bash", "-c", f"cat {corpus_path}/*.parquet > /dev/null"], check=False)
+
+    n = run_level(8, corpus_path)
+    n4 = run_level(32, corpus_path)
+    thr_n = n["logical"] / n["secs"] / 1e9
+    thr_4n = n4["logical"] / n4["secs"] / 1e9
+    eff = thr_4n / (4 * thr_n)
+    summary = {
+        "throughput_local8_gbps": round(thr_n, 4),
+        "throughput_local32_gbps": round(thr_4n, 4),
+        "scaling_efficiency": round(eff, 4),
+        "gate": "PASS" if eff >= 0.8 else "FAIL",
+        "rows": ROWS,
+        "logical_bytes": n["logical"],
+    }
+    print(json.dumps(summary))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH/BASELINE — measured\n\n"
+            "Two-parallelism-level scaling evidence for the north_rule's N→4N\n"
+            "criterion (local[8] as N, local[32] as 4N; same materialized input,\n"
+            "page-cached; median of 3 timed runs after 1 warm-up per level;\n"
+            "fresh JVM per level).\n\n"
+            f"| metric | value |\n|---|---|\n"
+            f"| corpus rows | {ROWS} |\n"
+            f"| logical bytes | {n['logical']:,} |\n"
+            f"| encode throughput local[8] (N) | {thr_n:.4f} GB/s |\n"
+            f"| encode throughput local[32] (4N) | {thr_4n:.4f} GB/s |\n"
+            f"| scaling efficiency thr(4N)/(4·thr(N)) | {eff:.3f} |\n"
+            f"| gate ≥ 0.8 | {summary['gate']} |\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
