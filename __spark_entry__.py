@@ -80,6 +80,17 @@ def q_roundtrip_events(spark, sf_dir):
     return _roundtrip(spark, sf_dir, "events", EVENTS_COLS)
 
 
+def q_roundtrip_embeddings(spark, sf_dir):
+    return _roundtrip(spark, sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+
+def q_setop_high_value_orders(spark, sf_dir):
+    o = _T(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_custkey").exceptAll(
+        o.filter(F.col("o_totalprice") < 50000).select("o_orderkey", "o_custkey")
+    )
+
+
 def q_encode_verify_documents(spark, sf_dir):
     docs = _T(spark, sf_dir, "documents")
     dec = decode_table(encode_table(docs, chunk_rows=16384), docs.schema)
@@ -173,6 +184,20 @@ def q_anti_join_customers_without_orders(spark, sf_dir):
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
+def q_cube_pricing(spark, sf_dir):
+    li = _T(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count("*").alias("n"))
+    )
+
+
+def q_sample_documents_systematic(spark, sf_dir):
+    d = _T(spark, sf_dir, "documents")
+    return d.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0).select("doc_id", "lang", "n_chars")
+
+
 def q_selector_stats_documents(spark, sf_dir):
     d = _T(spark, sf_dir, "documents")
     return d.agg(
@@ -253,6 +278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_documents": q_roundtrip_documents,
         "roundtrip_lineitem": q_roundtrip_lineitem,
         "roundtrip_events": q_roundtrip_events,
+        "roundtrip_embeddings": q_roundtrip_embeddings,
+        "setop_high_value_orders": q_setop_high_value_orders,
         "encode_verify_documents": q_encode_verify_documents,
         "encode_metrics_documents": q_encode_metrics_documents,
         "corpus_roundtrip": q_corpus_roundtrip,
@@ -264,6 +291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_orders": q_window_topk_orders,
         "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
         "selector_stats_documents": q_selector_stats_documents,
+        "cube_pricing": q_cube_pricing,
+        "sample_documents_systematic": q_sample_documents_systematic,
         "dedup_exact_documents": q_dedup_exact_documents,
         "token_count_documents": q_token_count_documents,
         "quality_scores_documents": q_quality_scores_documents,
@@ -310,6 +339,12 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "roundtrip_lineitem": f"SELECT {li} FROM lineitem",
         "roundtrip_events": "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+        "roundtrip_embeddings": "SELECT vec_id, embedding, label FROM embeddings",
+        "setop_high_value_orders": """
+            SELECT o_orderkey, o_custkey FROM orders
+            EXCEPT ALL
+            SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice < 50000
+        """,
         "encode_verify_documents": """
             SELECT lang, count(*) AS n_docs, count(text) AS n_match
             FROM documents GROUP BY lang
@@ -352,6 +387,14 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_customers_without_orders": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "cube_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "sample_documents_systematic": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 20 = 0
         """,
         "selector_stats_documents": """
             SELECT count(DISTINCT text) AS ndv_text,

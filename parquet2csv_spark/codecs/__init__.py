@@ -50,6 +50,7 @@ T_FSST = 7
 T_PLAIN_FLOAT = 8
 T_BOOL = 9
 T_ZLIB = 10
+T_LIST = 11
 
 _U32 = struct.Struct("<I")
 _ZLIB_LEVEL = 6
@@ -172,7 +173,18 @@ def encode_array(arr: pa.Array, spec: str,
     use_z = spec.endswith("+z")
     base_spec = spec[:-2] if use_z else spec
 
-    if kind in (vec.KIND_INT, vec.KIND_BOOL):
+    if kind == vec.KIND_LIST:
+        # list<primitive>: element counts (FOR) + recursively-framed values
+        counts, values = vec.list_parts(arr)
+        inner_spec = base_spec.split(":", 1)[1] if ":" in base_spec else None
+        if inner_spec:
+            sub = encode_array(values, inner_spec)
+        else:
+            from . import selector as _selector
+
+            _, sub = _selector.encode_best(values)
+        tag, body = T_LIST, _lengths_block(counts) + sub
+    elif kind in (vec.KIND_INT, vec.KIND_BOOL):
         vals = vec.ints_to_numpy(arr)
         if kind == vec.KIND_BOOL and base_spec == "plain":
             tag, body = T_BOOL, bitpack.pack(vals.astype(np.uint64), 1)
@@ -244,6 +256,10 @@ def decode_array(frame: bytes) -> pa.Array:
     if tag == T_FSST:
         lengths, blob = _dec_fsst(body, n)
         return vec.strings_from_parts(lengths, blob, typ, valid)
+    if tag == T_LIST:
+        counts, off2 = _read_lengths_block(body, n)
+        values = decode_array(body[off2:])
+        return vec.list_from_parts(counts, values, typ, valid)
     if tag in (T_DICT, T_RLE_DICT):
         out = _dec_dict(tag, body, n)
         if valid is not None:
@@ -281,6 +297,9 @@ def raw_size(arr: pa.Array) -> int:
     of compression ratio and of encode throughput (BASELINE.md protocol)."""
     kind = vec.kind_of(arr.type)
     n = len(arr)
+    if kind == vec.KIND_LIST:
+        _, values = vec.list_parts(arr)
+        return raw_size(values) + 8 * n
     if kind == vec.KIND_STRING:
         filled = arr.fill_null("") if arr.null_count else arr
         lengths, _ = vec.string_parts(filled)

@@ -127,6 +127,8 @@ def choose(arr: pa.Array, stats: ColumnStats | None = None, profile: str = "rati
     ``profile``: "ratio" (default — north_star optimizes compressed size)
     or "fast" (skips symbol-table candidates on large blobs).
     """
+    if vec.kind_of(arr.type) == vec.KIND_LIST:
+        return "list"  # element values get their own recursive selection
     st = stats or analyze(arr)
     if st.n == 0:
         return "plain"

@@ -16,9 +16,13 @@ KIND_INT = "i"       # ints, dates, timestamps, durations -> int64 vector
 KIND_FLOAT = "f"     # float32/64 -> raw bytes
 KIND_STRING = "s"    # string/large_string/binary/large_binary -> lengths+blob
 KIND_BOOL = "b"      # bool -> int64 vector (0/1)
+KIND_LIST = "l"      # list<primitive> -> lengths + recursively-framed values
 
 
 def kind_of(typ: pa.DataType) -> str:
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        kind_of(typ.value_type)  # raises for unsupported element types
+        return KIND_LIST
     if pa.types.is_boolean(typ):
         return KIND_BOOL
     if (
@@ -152,6 +156,38 @@ def floats_from_bytes(body: bytes, typ: pa.DataType, n: int, valid: np.ndarray |
 
 # --------------------------------------------------------- dtype persistence
 
+def list_parts(arr: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """List array -> (int64 element counts, flattened child values).
+
+    Nulls contribute 0 elements (bitmap restores them). Zero-copy offsets."""
+    typ = arr.type
+    empty = pa.scalar([], type=typ)
+    a = arr.fill_null(empty) if arr.null_count else arr
+    la = a.cast(pa.large_list(typ.value_type)) if not pa.types.is_large_list(a.type) else a
+    n = len(la)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), pa.array([], type=typ.value_type)
+    offsets = np.frombuffer(la.buffers()[1], dtype=np.int64)[la.offset : la.offset + n + 1]
+    values = la.values.slice(offsets[0], offsets[-1] - offsets[0])
+    return np.diff(offsets).astype(np.int64), values
+
+
+def list_from_parts(
+    counts: np.ndarray, values: pa.Array, typ: pa.DataType, valid: np.ndarray | None
+) -> pa.Array:
+    n = len(counts)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    validity_buf = None if valid is None else pa.py_buffer(pack_validity(valid))
+    arr = pa.Array.from_buffers(
+        pa.large_list(values.type), n,
+        [validity_buf, pa.py_buffer(offsets.tobytes())],
+        null_count=-1 if valid is not None else 0,
+        children=[values],
+    )
+    return arr.cast(typ)
+
+
 def dtype_str(typ: pa.DataType) -> str:
     return str(typ)
 
@@ -187,4 +223,14 @@ def dtype_from_str(s: str) -> pa.DataType:
     }
     if s in alias:
         return alias[s]
+    if s.startswith("list<") and s.endswith(">"):
+        inner = s[5:-1]
+        if ":" in inner:  # e.g. "list<item: float>"
+            inner = inner.split(":", 1)[1].strip()
+        return pa.list_(dtype_from_str(inner))
+    if s.startswith("large_list<") and s.endswith(">"):
+        inner = s[11:-1]
+        if ":" in inner:
+            inner = inner.split(":", 1)[1].strip()
+        return pa.large_list(dtype_from_str(inner))
     return pa.type_for_alias(s)

@@ -196,3 +196,28 @@ def test_encode_best_never_pathological():
     spec, frame = selector.encode_best(arr)
     assert len(frame) <= raw_size(arr) * 1.2
     assert decode_array(frame).cast(pa.string()).equals(arr)
+
+
+# ----------------------------------------------------------------- lists
+
+LIST_CASES = [
+    ([], pa.list_(pa.float32())),
+    ([None, [], [1.5, 2.5]], pa.list_(pa.float32())),
+    ([[1, 2, 3], None, []], pa.list_(pa.int64())),
+    ([["a", "b"], None, [""]], pa.list_(pa.string())),
+    ([[0.1] * 64] * 50, pa.list_(pa.float64())),
+]
+
+
+@pytest.mark.parametrize("pyvals,typ", LIST_CASES)
+def test_list_frames_roundtrip(pyvals, typ):
+    arr = pa.array(pyvals, type=typ)
+    out = decode_array(encode_array(arr, "list"))
+    assert out.cast(typ).equals(arr)
+
+
+def test_list_selector_and_encode_best():
+    arr = pa.array([[float(i), float(i + 1)] for i in range(1000)], type=pa.list_(pa.float32()))
+    spec, frame = selector.encode_best(arr)
+    assert spec.startswith("list")
+    assert decode_array(frame).cast(arr.type).equals(arr)
