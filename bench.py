@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 WORK = os.environ.get("SPARK_GRAFT_WORK", "/tmp/p2c_bench")
 
 
@@ -55,24 +55,24 @@ def main() -> None:
         )
     ).first()[0]
 
+    chunks_path = f"{WORK}/chunks"
+
     def encode_once() -> tuple[float, int]:
         t0 = time.time()
         chunks = encode_grouped(corpus, ["repo"], ["path", "commit"])
         agg = chunks.agg(F.sum("enc_bytes").alias("enc")).first()
         return time.time() - t0, int(agg["enc"])
 
-    # warm-up (JIT, python worker pool, page cache)
-    encode_once()
+    # warm-up (JIT, python worker pool, page cache) doubles as the
+    # persisted-chunks write for the decode pass
+    encode_grouped(corpus, ["repo"], ["path", "commit"]).write.mode(
+        "overwrite"
+    ).parquet(chunks_path)
     runs = [encode_once() for _ in range(REPS)]
     enc_secs = statistics.median(r[0] for r in runs)
     enc_bytes = runs[0][1]
     encode_gbps = logical_bytes / enc_secs / 1e9
 
-    # persisted decode pass
-    chunks_path = f"{WORK}/chunks"
-    encode_grouped(corpus, ["repo"], ["path", "commit"]).write.mode(
-        "overwrite"
-    ).parquet(chunks_path)
     chunks_df = spark.read.parquet(chunks_path)
     t0 = time.time()
     decoded_rows = decode_table(chunks_df, CORPUS_DDL).count()

@@ -154,7 +154,7 @@ def _dec_dict(tag: int, body: bytes, n: int) -> pa.Array:
 def _zlib_level(size: int) -> int:
     """Deflate effort by body size: big bodies get the fast level (the
     ratio loss after dict/fsst preconditioning is ~2-5%, the speedup ~4×)."""
-    return 1 if size > (1 << 20) else _ZLIB_LEVEL
+    return 1 if size > (1 << 18) else _ZLIB_LEVEL
 
 
 def encode_array(arr: pa.Array, spec: str,

@@ -32,6 +32,7 @@ from __future__ import annotations
 import numpy as np
 
 MAX_MERGES = 200
+MAX_DEPTH = 4   # compress/decompress do one vectorized pass per level
 _SAMPLE = 1 << 16  # 64 KiB training sample
 
 
@@ -68,16 +69,25 @@ def train(
     merges: list[tuple[int, int, int]] = []
     work = sample
     min_gain = max(8, int(len(sample) * min_gain_frac))
+    depth = [0] * 256  # cap table depth: each level is one full-blob pass
     for code in free[: min(max_merges, len(free))]:
         arr = np.frombuffer(work, dtype=np.uint8)
         if len(arr) < 2:
             break
         pair_ids = arr[:-1].astype(np.uint16) * 256 + arr[1:]
         pair_counts = np.bincount(pair_ids, minlength=65536)
-        best = int(pair_counts.argmax())
-        if pair_counts[best] < min_gain:
+        while True:
+            best = int(pair_counts.argmax())
+            if pair_counts[best] < min_gain:
+                best = -1
+                break
+            left, right = best >> 8, best & 0xFF
+            if max(depth[left], depth[right]) < MAX_DEPTH:
+                break
+            pair_counts[best] = 0  # too deep — try the next-best pair
+        if best < 0:
             break
-        left, right = best >> 8, best & 0xFF
+        depth[code] = max(depth[left], depth[right]) + 1
         merges.append((code, left, right))
         work = work.replace(bytes((left, right)), bytes((code,)))
     return merges

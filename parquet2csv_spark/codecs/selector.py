@@ -87,7 +87,7 @@ def analyze(arr: pa.Array) -> ColumnStats:
 
 _TRIAL_VALUES = 512
 _TRIAL_BYTES = 1 << 18
-_TIE_TOLERANCE = 1.05  # prefer a faster codec within 5% of the best size
+_TIE_TOLERANCE = 1.12  # prefer a faster codec within 12% of the best size
 
 
 def _trial_sample(arr: pa.Array) -> pa.Array:
@@ -145,6 +145,11 @@ def choose(arr: pa.Array, stats: ColumnStats | None = None, profile: str = "rati
     if st.kind == vec.KIND_FLOAT:
         # deflate trial decided at encode time via the +z fallback below
         return "plain+z"
+    # very low cardinality: dict/RLE by construction (north_star: RLE/dict
+    # for repo/lang/commit). Frame sizes here are tiny either way; skipping
+    # the trial encodes saves real per-chunk time.
+    if st.ndv_ratio < 0.05 and st.avg_len > 0:
+        return "rledict:plain+z" if st.run_ratio < 0.5 else "dict:plain+z"
     # strings: trial-encode a sample under each candidate
     sample = _trial_sample(arr)
     lengths, blob = vec.string_parts(sample.fill_null("") if sample.null_count else sample)
@@ -200,11 +205,17 @@ def encode_best(
 
     chosen = spec
     if chosen is None and ctx is not None and ctx_key is not None:
-        chosen = ctx.get(("spec", ctx_key))
+        cached = ctx.get(("spec", ctx_key))
+        # a spec chosen on a tiny chunk must not steer a big one (and vice
+        # versa): reuse only within a 4× size band of the deciding chunk
+        if cached is not None:
+            cached_spec, cached_n = cached
+            if 0.25 <= (len(arr) / max(1, cached_n)) <= 4.0:
+                chosen = cached_spec
     if chosen is None:
         chosen = choose(arr)
         if ctx is not None and ctx_key is not None:
-            ctx[("spec", ctx_key)] = chosen
+            ctx[("spec", ctx_key)] = (chosen, len(arr))
     frame = encode_array(arr, chosen, ctx, ctx_key)
     if not chosen.endswith("+z") and len(frame) > 4096:
         # cheap sliced trial first; full +z wrap only if promising

@@ -271,6 +271,13 @@ def encode_salted(
     ``group_key:seq`` — deterministic, so re-running a group is idempotent."""
     data_cols = [c for c in salted.columns if c != "_gk"]
 
+    # worker-lifetime codec cache: selector decisions and FSST tables carry
+    # across ALL groups a python worker processes in this stage (groups of
+    # one table are near-identically distributed; stale entries are guarded
+    # by fsst.reusable() and the never-worse-than-plain fallback). Shipped
+    # once per task via the closure; mutations persist per worker.
+    ctx: dict = {}
+
     def enc_group(tbl: pa.Table) -> pa.Table:
         gk = tbl["_gk"][0].as_py() if tbl.num_rows else ""
         body = tbl.select(data_cols)
@@ -279,7 +286,6 @@ def encode_salted(
         )
         body = body.take(order_idx)
         rows = []
-        ctx: dict = {}
         for seq, (off, ln) in enumerate(split_points(body, chunk_rows, chunk_bytes)):
             piece = body.slice(off, ln)
             rows.append(encode_chunk(piece, f"{gk}:{seq:06d}", gk, seq, specs, ctx))
