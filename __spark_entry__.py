@@ -268,6 +268,40 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    # synthetic embeddings are near-orthogonal; 0.4 yields a real pair set
+    return sim.embedding_near_dups(_T(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_sessionize_events(spark, sf_dir):
+    ev = _T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    new_sess = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("sess_id", F.sum(new_sess).over(w))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("sess_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_approx_stats_events(spark, sf_dir):
+    ev = _T(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("p50_value"),
+        F.percentile_approx("value", 0.9).alias("p90_value"),
+    )
+
+
+def q_stream_windowed_counts(spark, sf_dir):
+    from parquet2csv_spark.streaming.windows import windowed_event_counts
+
+    return windowed_event_counts(spark, f"{sf_dir}/events.parquet")
+
+
 def q_multimodal_bytes(spark, sf_dir):
     d = _T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return mm.media_metadata(mm.attach_binary(d, "text", "doc_id"))
@@ -303,6 +337,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "sessionize_events": q_sessionize_events,
+        "approx_stats_events": q_approx_stats_events,
+        "stream_windowed_counts": q_stream_windowed_counts,
         "multimodal_bytes": q_multimodal_bytes,
     }
 
@@ -471,6 +509,36 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rank
                   FROM s)
             SELECT q_id, rank, n_id, round(c, 4) AS cos FROM r WHERE rank <= 5
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                     4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4
+        """,
+        "sessionize_events": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id,
+                         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+                  FROM g)
+            SELECT user_id, count(DISTINCT sess_id) AS n_sessions, count(*) AS n_events
+            FROM s GROUP BY user_id
+        """,
+        "stream_windowed_counts": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+                   count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
         """,
         "multimodal_bytes": """
             SELECT doc_id AS media_id,

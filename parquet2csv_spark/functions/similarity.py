@@ -126,3 +126,25 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "n_id", F.round("_cos", round_digits).alias("cos"))
     )
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact): all (a < b) pairs with
+    cosine ≥ threshold. The exactness baseline a MinHash/LSH pass is
+    verified against; at corpus scale use lsh_topk's band join to generate
+    candidates instead of the cross join."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", round_digits).alias("cos"))
+    )

@@ -199,3 +199,31 @@ def test_multimodal_metadata_and_stub(spark):
     feats = {r["media_id"]: r["features"] for r in mm.decode_media(b, fake=True).collect()}
     assert len(feats[1]) == 16 and abs(sum(feats[1]) - 1.0) < 1e-5
     assert feats[2] is None
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.05, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]): r["cos"] for r in sim.embedding_near_dups(df, 0.95).collect()}
+    assert set(pairs) == {(0, 1)} and pairs[(0, 1)] > 0.99
+
+
+def test_stream_windowed_counts(spark, tmp_path):
+    import datetime
+
+    from parquet2csv_spark.streaming.windows import windowed_event_counts
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base + datetime.timedelta(minutes=m), "click", 1.0)
+        for m in [1, 2, 61, 62, 125]
+    ]
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double").write.parquet(p)
+    out = {r["ws"].hour: r["n"] for r in windowed_event_counts(spark, p).collect()}
+    assert out == {0: 2, 1: 2, 2: 1}
