@@ -18,6 +18,7 @@ selects the same codec (required for exact resume idempotency).
 
 from __future__ import annotations
 
+import os
 import zlib
 from dataclasses import dataclass
 
@@ -26,6 +27,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import bitpack, encode_array, foref, fsst, rle, vec
+
+# "ratio" (default, north_star optimizes compressed size) or "fast"
+# (skips symbol-table candidates on large blobs). Workers inherit the env.
+DEFAULT_PROFILE = os.environ.get("SPARK_GRAFT_CODEC_PROFILE", "ratio")
 
 _SAMPLE_VALUES = 4096       # max values sampled per chunk
 _ZLIB_TRIAL = 1 << 16       # bytes of blob used in the deflate trial
@@ -116,7 +121,7 @@ def _string_candidates(st: ColumnStats, profile: str) -> list[str]:
     return cands
 
 
-def choose(arr: pa.Array, stats: ColumnStats | None = None, profile: str = "ratio") -> str:
+def choose(arr: pa.Array, stats: ColumnStats | None = None, profile: str | None = None) -> str:
     """Pick a codec spec (see codecs.__init__ mini-language) for one chunk.
 
     Integers use an analytic cost model (exact sizes are computable from
@@ -127,6 +132,8 @@ def choose(arr: pa.Array, stats: ColumnStats | None = None, profile: str = "rati
     ``profile``: "ratio" (default — north_star optimizes compressed size)
     or "fast" (skips symbol-table candidates on large blobs).
     """
+    if profile is None:
+        profile = DEFAULT_PROFILE
     if vec.kind_of(arr.type) == vec.KIND_LIST:
         return "list"  # element values get their own recursive selection
     st = stats or analyze(arr)
