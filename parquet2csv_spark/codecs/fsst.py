@@ -140,22 +140,22 @@ def compress(blob: bytes, merges: list[tuple[int, int, int]]) -> bytes:
         if not match.any():
             continue
         # overlap resolution, parity-greedy: even-index matches can never
-        # conflict with each other (2 apart); odd-index matches are kept
-        # only when neither even neighbor was. Pure bool shifts — no
-        # cumsum/arange, minimal memory traffic.
+        # conflict with each other (2 apart); an odd-index match survives
+        # only when neither even neighbor matched. Computed on HALF-size
+        # strided views — minimal memory traffic.
         keep = np.zeros(n - 1, dtype=bool)
-        keep[::2] = match[::2]
-        odd = match.copy()
-        odd[::2] = False
-        left_kept = np.zeros(n - 1, dtype=bool)
-        left_kept[1:] = keep[:-1]
-        right_kept = np.zeros(n - 1, dtype=bool)
-        right_kept[:-1] = keep[1:]
-        keep |= odd & ~left_kept & ~right_kept
+        me = match[::2]
+        keep[::2] = me
+        mo = match[1::2]          # odd starts; neighbors are me[j], me[j+1]
+        no_left = ~me[: len(mo)]
+        no_right = np.ones(len(mo), dtype=bool)
+        tail = me[1 : len(mo) + 1]
+        no_right[: len(tail)] = ~tail
+        keep[1::2] = mo & no_left & no_right
         out = arr.copy()
-        out[:-1] = np.where(keep, m, arr[:-1])
+        out[:-1][keep] = m[keep]  # sparse fancy write beats a full where-pass
         delete = np.zeros(n, dtype=bool)
-        delete[1:] = keep  # a kept match at i absorbs byte i+1
+        delete[1:] = keep         # a kept match at i absorbs byte i+1
         arr = out[~delete]
     return arr.tobytes()
 

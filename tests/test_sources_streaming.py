@@ -115,3 +115,36 @@ def test_streaming_incremental_encode(spark, tmp_path):
     dec = decode_table(all_chunks, CORPUS_DDL)
     expected = batch1.unionByName(batch2)
     assert multiset_diff(expected, dec).count() == 0
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    import datetime
+
+    from parquet2csv_spark.streaming.stateful import running_user_totals
+
+    ev_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+    base = datetime.datetime(2024, 1, 1)
+    ddl = "event_id long, ts timestamp, user_id long, value double"
+    os.makedirs(ev_dir)
+
+    from parquet2csv_spark.streaming.stateful import latest_totals
+
+    out = str(tmp_path / "totals")
+    spark.createDataFrame(
+        [(1, base, 7, 10.0), (2, base, 7, 5.0), (3, base, 8, 1.0)], ddl
+    ).write.mode("append").parquet(ev_dir)
+    q = running_user_totals(spark, ev_dir, ckpt, out)
+    q.awaitTermination(120)
+
+    first = {r["user_id"]: (r["n_events"], r["total_value"]) for r in latest_totals(spark, out).collect()}
+    assert first[7] == (2, 15.0) and first[8] == (1, 1.0)
+
+    # second micro-batch: state must carry over (running totals, not batch)
+    spark.createDataFrame(
+        [(4, base + datetime.timedelta(hours=1), 7, 2.5)], ddl
+    ).write.mode("append").parquet(ev_dir)
+    q2 = running_user_totals(spark, ev_dir, ckpt, out)
+    q2.awaitTermination(120)
+    second = {r["user_id"]: (r["n_events"], r["total_value"]) for r in latest_totals(spark, out).collect()}
+    assert second[7] == (3, 17.5), second
