@@ -248,6 +248,11 @@ def q_jaccard_pairs_documents(spark, sf_dir):
     return X.all_pairs_jaccard(d, "doc_id", n=4, threshold=0.2, max_keys=120)
 
 
+def q_minhash_signatures(spark, sf_dir):
+    d = _T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return X.minhash_signatures(d, "doc_id", n=4, num_perm=16)
+
+
 def q_minhash_near_dups(spark, sf_dir):
     d = _T(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
     return X.minhash_near_dups(d, "doc_id", n=4, num_perm=32, bands=8, threshold=0.5)
@@ -334,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": q_fingerprint_documents,
         "simhash_documents": q_simhash_documents,
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "minhash_signatures_documents": q_minhash_signatures,
         "minhash_near_dups": q_minhash_near_dups,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -353,6 +359,22 @@ _STOP = {
     "es": "el|los|que|una|por|con",
     "fr": "le|la|les|et|des|une",
 }
+
+
+def _minhash_oracle(num_perm: int = 16) -> str:
+    """Programmatically mirror dedup.minhash_signatures: same universal-hash
+    parameters, same 32-bit md5-derived shingle hash, same Mersenne prime."""
+    m = (1 << 61) - 1
+    perms = [(2 * j + 3, (j * j + 7) % 1000003) for j in range(num_perm)]
+    mins = ", ".join(f"CAST(min((h * {a} + {b}) % {m}) AS BIGINT)" for a, b in perms)
+    return f"""
+        WITH e AS (SELECT doc_id, text, unnest(range(1, length(text) - 2)) AS i
+                   FROM documents
+                   WHERE text IS NOT NULL AND length(text) >= 4 AND doc_id < 200),
+        sh AS (SELECT DISTINCT doc_id AS key, substring(text, i, 4) AS shingle FROM e),
+        h AS (SELECT key, CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h FROM sh)
+        SELECT key, [{mins}] AS sig FROM h GROUP BY key
+    """
 
 
 def _langid_oracle() -> str:
@@ -470,6 +492,7 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "langid_documents": _langid_oracle(),
+        "minhash_signatures_documents": _minhash_oracle(),
         "fingerprint_documents": """
             SELECT doc_id, md5(text) AS fp_md5 FROM documents WHERE text IS NOT NULL
         """,

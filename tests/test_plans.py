@@ -51,3 +51,27 @@ def test_salting_key_is_deterministic_expression(spark):
     a = salt_groups(corpus, ["repo"], ["path", "commit"]).select("_gk")
     b = salt_groups(corpus, ["repo"], ["path", "commit"]).select("_gk")
     assert a.exceptAll(b).count() == 0
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing: two tables bucketed on the join key co-locate — the join
+    plan has NO shuffle exchange (SURVEY.md §2.2 partitioning row; at 100TB
+    this is how repeated joins on chunk/group keys amortize their shuffle)."""
+    import re
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    a, b = f"bkt_a_{suffix}", f"bkt_b_{suffix}"
+    spark.range(0, 10000).withColumnRenamed("id", "k").write.bucketBy(
+        8, "k"
+    ).sortBy("k").mode("overwrite").saveAsTable(a)
+    spark.range(0, 10000).withColumnRenamed("id", "k").write.bucketBy(
+        8, "k"
+    ).sortBy("k").mode("overwrite").saveAsTable(b)
+    joined = spark.table(a).join(spark.table(b), "k")
+    plan = _plan(joined)
+    shuffle_ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+    assert not shuffle_ids, plan
+    assert joined.count() == 10000
+    spark.sql(f"DROP TABLE {a}")
+    spark.sql(f"DROP TABLE {b}")
