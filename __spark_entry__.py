@@ -307,6 +307,14 @@ def q_stream_windowed_counts(spark, sf_dir):
     return windowed_event_counts(spark, f"{sf_dir}/events.parquet")
 
 
+def q_json_extract_events(spark, sf_dir):
+    ev = _T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"),
+    ).groupBy("k").agg(F.count("*").alias("n"))
+
+
 def q_multimodal_bytes(spark, sf_dir):
     d = _T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return mm.media_metadata(mm.attach_binary(d, "text", "doc_id"))
@@ -347,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "approx_stats_events": q_approx_stats_events,
         "stream_windowed_counts": q_stream_windowed_counts,
+        "json_extract_events": q_json_extract_events,
         "multimodal_bytes": q_multimodal_bytes,
     }
 
@@ -562,6 +571,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
                    count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "json_extract_events": """
+            SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n
+            FROM events GROUP BY 1
         """,
         "multimodal_bytes": """
             SELECT doc_id AS media_id,

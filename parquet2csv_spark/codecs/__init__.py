@@ -51,6 +51,7 @@ T_PLAIN_FLOAT = 8
 T_BOOL = 9
 T_ZLIB = 10
 T_LIST = 11
+T_PLAIN_DEC = 12
 
 _U32 = struct.Struct("<I")
 _ZLIB_LEVEL = 6
@@ -192,6 +193,8 @@ def encode_array(arr: pa.Array, spec: str,
             tag, body = _enc_int(vals, base_spec if base_spec != "auto" else "for")
     elif kind == vec.KIND_FLOAT:
         tag, body = T_PLAIN_FLOAT, vec.floats_to_bytes(arr)
+    elif kind == vec.KIND_DECIMAL:
+        tag, body = T_PLAIN_DEC, vec.decimals_to_bytes(arr)
     else:  # strings
         fill = b"" if pa.types.is_binary(typ) or pa.types.is_large_binary(typ) else ""
         filled = arr.fill_null(fill) if arr.null_count else arr
@@ -250,6 +253,8 @@ def decode_array(frame: bytes) -> pa.Array:
         return vec.ints_from_numpy(_dec_int(tag, body, n), typ, valid)
     if tag == T_PLAIN_FLOAT:
         return vec.floats_from_bytes(body, typ, n, valid)
+    if tag == T_PLAIN_DEC:
+        return vec.decimals_from_bytes(body, typ, n, valid)
     if tag == T_PLAIN_STR:
         lengths, blob = _dec_plain_str(body, n)
         return vec.strings_from_parts(lengths, blob, typ, valid)
@@ -308,4 +313,6 @@ def raw_size(arr: pa.Array) -> int:
         return n * (4 if pa.types.is_float32(arr.type) else 8)
     if kind == vec.KIND_BOOL:
         return n
+    if kind == vec.KIND_DECIMAL:
+        return n * 16
     return n * 8

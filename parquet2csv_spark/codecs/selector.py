@@ -149,7 +149,7 @@ def choose(arr: pa.Array, stats: ColumnStats | None = None, profile: str | None 
         rle_sz = runs * (foref.encoded_size(1, st.value_range) + 2)
         best = min((for_sz, "for"), (rle_sz, "rle"), (plain_sz, "plain"))
         return best[1]
-    if st.kind == vec.KIND_FLOAT:
+    if st.kind in (vec.KIND_FLOAT, vec.KIND_DECIMAL):
         # deflate trial decided at encode time via the +z fallback below
         return "plain+z"
     # very low cardinality: dict/RLE by construction (north_star: RLE/dict

@@ -17,6 +17,7 @@ KIND_FLOAT = "f"     # float32/64 -> raw bytes
 KIND_STRING = "s"    # string/large_string/binary/large_binary -> lengths+blob
 KIND_BOOL = "b"      # bool -> int64 vector (0/1)
 KIND_LIST = "l"      # list<primitive> -> lengths + recursively-framed values
+KIND_DECIMAL = "d"   # decimal128 -> raw 16-byte little-endian values
 
 
 def kind_of(typ: pa.DataType) -> str:
@@ -35,6 +36,8 @@ def kind_of(typ: pa.DataType) -> str:
         return KIND_INT
     if pa.types.is_floating(typ):
         return KIND_FLOAT
+    if pa.types.is_decimal(typ):
+        return KIND_DECIMAL
     if (
         pa.types.is_string(typ)
         or pa.types.is_large_string(typ)
@@ -154,6 +157,26 @@ def floats_from_bytes(body: bytes, typ: pa.DataType, n: int, valid: np.ndarray |
     return pa.array(vals, type=typ, mask=mask)
 
 
+# ------------------------------------------------------------ decimal paths
+
+def decimals_to_bytes(arr: pa.Array) -> bytes:
+    """decimal128 -> raw 16B/value little-endian (zero-copy data buffer)."""
+    import decimal as _d
+
+    a = arr.fill_null(_d.Decimal(0)) if arr.null_count else arr
+    buf = a.buffers()[1]
+    data = np.frombuffer(buf, dtype=np.uint8)
+    return data[a.offset * 16 : (a.offset + len(a)) * 16].tobytes()
+
+
+def decimals_from_bytes(body: bytes, typ: pa.DataType, n: int, valid: np.ndarray | None) -> pa.Array:
+    validity_buf = None if valid is None else pa.py_buffer(pack_validity(valid))
+    return pa.Array.from_buffers(
+        typ, n, [validity_buf, pa.py_buffer(body)],
+        null_count=-1 if valid is not None else 0,
+    )
+
+
 # --------------------------------------------------------- dtype persistence
 
 def list_parts(arr: pa.Array) -> tuple[np.ndarray, pa.Array]:
@@ -193,6 +216,10 @@ def dtype_str(typ: pa.DataType) -> str:
 
 
 def dtype_from_str(s: str) -> pa.DataType:
+    if s.startswith("decimal128"):
+        inner = s[s.index("(") + 1 : s.rindex(")")]
+        prec, scale = (int(x) for x in inner.split(","))
+        return pa.decimal128(prec, scale)
     if s.startswith("timestamp"):
         # e.g. timestamp[us] / timestamp[us, tz=UTC]
         inner = s[s.index("[") + 1 : s.rindex("]")]

@@ -114,3 +114,37 @@ def test_empty_input_produces_no_chunks(spark):
     empty = spark.createDataFrame([], CORPUS_DDL)
     assert encode_grouped(empty, ["repo"], ["path"]).count() == 0
     assert encode_table(empty).count() == 0
+
+
+def test_cdc_rows_roundtrip(spark):
+    """FIXTURES.md F2: the reference's hard-coded cdc schema
+    (OneRowParquetSchema.java:124-153) — $-suffixed names, uuid strings,
+    timestamp sentinels, decimal(30,0) — must round-trip bit-identically."""
+    import datetime
+    import decimal
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ID$", T.LongType(), True),
+            T.StructField("PRIMARY_KEY_VAL$", T.StringType(), True),
+            T.StructField("TERM_ID$", T.StringType(), True),
+            T.StructField("CREATED_DATE$", T.TimestampType(), True),
+            T.StructField("SOURCE_SCN$", T.DecimalType(30, 0), True),
+            T.StructField("SQL_OPERATION$", T.StringType(), True),
+        ]
+    )
+    rows = [
+        (0, "00000000-0000-0000-0000-000000000000", "T1",
+         datetime.datetime(1900, 1, 1), decimal.Decimal(0), "INSERT"),
+        (1, "123e4567-e89b-12d3-a456-426614174000", "T2",
+         datetime.datetime(1900, 1, 2), decimal.Decimal("987654321098765432109876543210"), "UPDATE"),
+        (2, "not-a-uuid", None, datetime.datetime(2024, 6, 1, 12, 0, 0, 123000),
+         decimal.Decimal(-42), "DELETE"),
+        (3, None, "T3", None, None, None),
+    ]
+    src = spark.createDataFrame(rows, schema)
+    dec = decode_table(encode_table(src, chunk_rows=16), schema)
+    assert multiset_diff(src, dec).count() == 0
+    assert dec.schema == schema
