@@ -21,7 +21,10 @@ def get_spark(cpus: int | None = None, app: str = "parquet2csv_spark") -> SparkS
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # 2× cores: the grouped encode places many salted groups per
+        # partition — finer partitions balance group-size skew across task
+        # waves (AQE still coalesces genuinely tiny stages)
+        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 16)))
         .config("spark.default.parallelism", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -114,9 +114,13 @@ def main() -> None:
             "codec pipeline (streaming numpy/zlib) saturates the box's memory bus\n"
             "around 8-16 workers — so the honest N→4N pair within the bandwidth\n"
             "envelope is the headline, and the higher levels are reported too.\n"
-            "Run-to-run variance on this box is ±2× (kernel THP compaction\n"
-            "stalls under large-allocation churn); clean repeated studies of the\n"
-            "headline pair spanned 0.54-0.73.\n\n"
+            "Run-to-run variance on this box is ±2-3× with a consistent\n"
+            "burst-then-throttle pattern (first run after idle ~3× faster than\n"
+            "sustained reps) — consistent with hypervisor-level CPU burst\n"
+            "credits on this Firecracker microVM; the sustained budget is\n"
+            "~6-8 cores, which also explains local[8] ≈ local[32]. Medians\n"
+            "of repeated runs report the sustained (throttled) rate; clean\n"
+            "repeated studies of the headline pair spanned 0.54-0.73.\n\n"
             f"| metric | value |\n|---|---|\n"
             f"| corpus rows | {ROWS} |\n"
             f"| logical bytes | {results[levels[0]]['logical']:,} |\n"
