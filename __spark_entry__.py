@@ -307,6 +307,21 @@ def q_stream_windowed_counts(spark, sf_dir):
     return windowed_event_counts(spark, f"{sf_dir}/events.parquet")
 
 
+def q_asof_join_events(spark, sf_dir):
+    from parquet2csv_spark.functions.asof import asof_join
+
+    ev = _T(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    left = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("signup_value"))
+    )
+    return asof_join(left, right, "user_id", "ts", ["signup_value"]).select(
+        "event_id", "user_id", "signup_value_r"
+    )
+
+
 def q_json_extract_events(spark, sf_dir):
     ev = _T(spark, sf_dir, "events")
     return ev.select(
@@ -355,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "approx_stats_events": q_approx_stats_events,
         "stream_windowed_counts": q_stream_windowed_counts,
+        "asof_join_events": q_asof_join_events,
         "json_extract_events": q_json_extract_events,
         "multimodal_bytes": q_multimodal_bytes,
     }
@@ -571,6 +587,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
                    count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "asof_join_events": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+            r AS (SELECT user_id, ts, round(max(value), 2) AS signup_value
+                  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+            SELECT l.event_id, l.user_id, r.signup_value AS signup_value_r
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "json_extract_events": """
             SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n

@@ -227,3 +227,27 @@ def test_stream_windowed_counts(spark, tmp_path):
     spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double").write.parquet(p)
     out = {r["ws"].hour: r["n"] for r in windowed_event_counts(spark, p).collect()}
     assert out == {0: 2, 1: 2, 2: 1}
+
+
+def test_asof_join_backward_inclusive(spark):
+    import datetime
+
+    from parquet2csv_spark.functions.asof import asof_join
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(7, t(5), "c1"), (7, t(10), "c2"), (7, t(2), "c0"), (8, t(5), "c3")],
+        "user_id long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(7, t(3), 100.0), (7, t(10), 200.0), (9, t(1), 900.0)],
+        "user_id long, ts timestamp, score double",
+    )
+    out = {
+        (r["user_id"], r["name"]): (r["score_r"], r["ts_r"])
+        for r in asof_join(left, right, "user_id", "ts", ["score"]).collect()
+    }
+    assert out[(7, "c1")] == (100.0, t(3))      # latest ≤ 00:05
+    assert out[(7, "c2")] == (200.0, t(10))     # equal ts → inclusive
+    assert out[(7, "c0")] == (None, None)       # nothing before 00:02
+    assert out[(8, "c3")] == (None, None)       # key with no right rows
