@@ -198,6 +198,23 @@ def q_sample_documents_systematic(spark, sf_dir):
     return d.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0).select("doc_id", "lang", "n_chars")
 
 
+def q_pivot_pricing(spark, sf_dir):
+    li = _T(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select("l_returnflag", F.col("O").alias("qty_o"), F.col("F").alias("qty_f"))
+
+
+def q_unpivot_region(spark, sf_dir):
+    r = _T(spark, sf_dir, "region")
+    return r.unpivot(
+        ["r_regionkey"], ["r_name"], "attr", "val"
+    )
+
+
 def q_selector_stats_documents(spark, sf_dir):
     d = _T(spark, sf_dir, "documents")
     return d.agg(
@@ -354,6 +371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
         "selector_stats_documents": q_selector_stats_documents,
         "cube_pricing": q_cube_pricing,
+        "pivot_pricing": q_pivot_pricing,
+        "unpivot_region": q_unpivot_region,
         "sample_documents_systematic": q_sample_documents_systematic,
         "dedup_exact_documents": q_dedup_exact_documents,
         "token_count_documents": q_token_count_documents,
@@ -472,6 +491,15 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_customers_without_orders": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "pivot_pricing": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "unpivot_region": """
+            SELECT r_regionkey, 'r_name' AS attr, r_name AS val FROM region
         """,
         "cube_pricing": """
             SELECT l_returnflag, l_linestatus,
