@@ -1,4 +1,4 @@
-from .decode import decode_table
+from .decode import decode_table, prune_chunks_long, prune_chunks_str
 from .encode import (
     CHUNKS_DDL,
     chunk_metrics,
@@ -11,6 +11,8 @@ __all__ = [
     "CHUNKS_DDL",
     "chunk_metrics",
     "decode_table",
+    "prune_chunks_long",
+    "prune_chunks_str",
     "encode_grouped",
     "encode_table",
     "is_bit_identical",

@@ -26,6 +26,40 @@ from ..codecs import decode_array
 POSITION_COLS_DDL = "_group_key string, _seq bigint, _row_offset bigint"
 
 
+def prune_chunks_long(chunks_df: DataFrame, col: str, lo=None, hi=None) -> DataFrame:
+    """Zone-map chunk pruning on an int-like column: keep only chunks whose
+    [lo_long, hi_long] range can intersect [lo, hi]. Conservative — chunks
+    without stats are kept. This is the engine's partition-pruning analog:
+    a selective decode touches only matching chunks' frames."""
+    from pyspark.sql import functions as F
+
+    def overlap(c):
+        cond = (c["name"] == col)
+        if lo is not None:
+            cond = cond & (c["hi_long"].isNull() | (c["hi_long"] >= lo))
+        if hi is not None:
+            cond = cond & (c["lo_long"].isNull() | (c["lo_long"] <= hi))
+        return cond
+
+    return chunks_df.filter(F.exists("cols", overlap))
+
+
+def prune_chunks_str(chunks_df: DataFrame, col: str, lo: str | None = None,
+                     hi: str | None = None) -> DataFrame:
+    """Zone-map pruning on a string column (e.g. path prefix ranges)."""
+    from pyspark.sql import functions as F
+
+    def overlap(c):
+        cond = (c["name"] == col)
+        if lo is not None:
+            cond = cond & (c["hi_str"].isNull() | (c["hi_str"] >= lo))
+        if hi is not None:
+            cond = cond & (c["lo_str"].isNull() | (c["lo_str"] <= hi))
+        return cond
+
+    return chunks_df.filter(F.exists("cols", overlap))
+
+
 def _arrow_schema_for(spark_schema: StructType) -> pa.Schema:
     from pyspark.sql.pandas.types import to_arrow_schema
 

@@ -35,12 +35,15 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
 from ..codecs import raw_size, selector
+from ..codecs.vec import kind_of as vec_kind
 
 CHUNKS_DDL = (
     "chunk_id string, group_key string, seq bigint, n_rows bigint, "
     "raw_bytes bigint, enc_bytes bigint, wall_ms bigint, "
     "cols array<struct<name:string, codec:string, n:bigint, null_count:bigint, "
-    "raw_bytes:bigint, enc_bytes:bigint, frame:binary>>"
+    "raw_bytes:bigint, enc_bytes:bigint, "
+    "lo_long:bigint, hi_long:bigint, lo_str:string, hi_str:string, "
+    "frame:binary>>"
 )
 
 COL_STRUCT = pa.struct(
@@ -51,6 +54,13 @@ COL_STRUCT = pa.struct(
         ("null_count", pa.int64()),
         ("raw_bytes", pa.int64()),
         ("enc_bytes", pa.int64()),
+        # zone map: exact for int-like columns (lo/hi_long), conservative
+        # for strings (lo_str is a prefix-truncated lower bound; hi_str is
+        # omitted when truncation would weaken it) — None disables pruning
+        ("lo_long", pa.int64()),
+        ("hi_long", pa.int64()),
+        ("lo_str", pa.string()),
+        ("hi_str", pa.string()),
         ("frame", pa.binary()),
     ]
 )
@@ -108,6 +118,35 @@ def split_points(tbl: pa.Table, chunk_rows: int, chunk_bytes: int) -> list[tuple
     return out
 
 
+def _zone_map(arr: pa.Array) -> dict:
+    """Per-column min/max for chunk pruning. Conservative: any doubt → None
+    (pruning keeps the chunk). Exact int64 bounds for int-like columns;
+    string bounds capped at 128 chars (a truncated prefix is a valid LOWER
+    bound; an upper bound weakened by truncation is dropped)."""
+    import pyarrow.compute as pc
+
+    out = {"lo_long": None, "hi_long": None, "lo_str": None, "hi_str": None}
+    if len(arr) == 0 or arr.null_count == len(arr):
+        return out
+    try:
+        kind = vec_kind(arr.type)
+        if kind == "i":
+            mm = pc.min_max(arr)
+            lo, hi = mm["min"], mm["max"]
+            out["lo_long"] = int(lo.cast(pa.int64()).as_py())
+            out["hi_long"] = int(hi.cast(pa.int64()).as_py())
+        elif kind == "s" and not (
+            pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type)
+        ):
+            mm = pc.min_max(arr)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            out["lo_str"] = lo[:128]
+            out["hi_str"] = hi if len(hi) <= 128 else None
+    except Exception:
+        pass
+    return out
+
+
 def encode_chunk(tbl: pa.Table, chunk_id: str, group_key: str, seq: int,
                  specs: dict[str, str] | None = None,
                  ctx: dict | None = None) -> dict:
@@ -131,6 +170,7 @@ def encode_chunk(tbl: pa.Table, chunk_id: str, group_key: str, seq: int,
                 "null_count": arr.null_count,
                 "raw_bytes": rb,
                 "enc_bytes": len(frame),
+                **_zone_map(arr),
                 "frame": frame,
             }
         )

@@ -148,3 +148,42 @@ def test_cdc_rows_roundtrip(spark):
     dec = decode_table(encode_table(src, chunk_rows=16), schema)
     assert multiset_diff(src, dec).count() == 0
     assert dec.schema == schema
+
+
+def test_zone_map_pruning_and_projection_pushdown(spark):
+    """Columnar-engine scale features: (1) zone-map chunk pruning — a
+    selective decode reads only chunks whose min/max can match; (2)
+    projection pushdown — decoding a subset schema touches only those
+    columns' frames."""
+    from parquet2csv_spark.operators import prune_chunks_long, prune_chunks_str
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    # sort so chunks have tight non-overlapping key ranges (zone maps bite)
+    chunks = encode_table(li.orderBy("l_orderkey"), chunk_rows=500).cache()
+    total = chunks.count()
+
+    pruned = prune_chunks_long(chunks, "l_orderkey", lo=100, hi=120)
+    assert 0 < pruned.count() < total  # actually pruned something
+
+    dec = decode_table(pruned, li.schema).filter(
+        (F.col("l_orderkey") >= 100) & (F.col("l_orderkey") <= 120)
+    )
+    expect = li.filter((F.col("l_orderkey") >= 100) & (F.col("l_orderkey") <= 120))
+    assert multiset_diff(expect, dec).count() == 0
+
+    # string zone maps on a sorted string column
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dchunks = encode_table(docs.orderBy("source"), chunk_rows=120).cache()
+    srcs = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    target = srcs[0]
+    spruned = prune_chunks_str(dchunks, "source", lo=target, hi=target)
+    assert spruned.count() < dchunks.count()
+    sdec = decode_table(spruned, docs.schema).filter(F.col("source") == target)
+    assert multiset_diff(docs.filter(F.col("source") == target), sdec).count() == 0
+
+    # projection pushdown: subset schema decodes only those frames
+    proj = decode_table(chunks, "l_orderkey bigint, l_quantity double")
+    assert proj.columns == ["l_orderkey", "l_quantity"]
+    assert proj.count() == li.count()
+    chunks.unpersist()
+    dchunks.unpersist()
