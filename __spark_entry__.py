@@ -81,7 +81,17 @@ def q_roundtrip_events(spark, sf_dir):
 
 
 def q_roundtrip_embeddings(spark, sf_dir):
-    return _roundtrip(spark, sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    # list-codec roundtrip, projected to a canonicalizer-safe scalar: the
+    # driver's comparator sorts columns and can't hash raw arrays, so the
+    # array is quantized (floor(v*1e4), exact in both engines — same double,
+    # same floor) and comma-joined. Bit-exact array equality is additionally
+    # pinned by pytest test_list_frames_roundtrip.
+    dec = _roundtrip(spark, sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    emb_q = F.concat_ws(
+        ",",
+        F.transform("embedding", lambda v: F.floor(v.cast("double") * 10000).cast("long").cast("string")),
+    )
+    return dec.select("vec_id", emb_q.alias("emb_q"), "label")
 
 
 def q_setop_high_value_orders(spark, sf_dir):
@@ -148,6 +158,36 @@ def q_csv_format_timestamps(spark, sf_dir):
 def q_csv_format_floats(spark, sf_dir):
     ev = _T(spark, sf_dir, "events")
     return ev.select("event_id", fmt.fmt_float_exact(F.col("value")).alias("value_fmt"))
+
+
+def q_csv_format_uuid_decimal(spark, sf_dir):
+    """F4+F5 end-to-end (reference matrix ParquetToCsv.java:233-246):
+    synthesize deterministic uuid strings from the documents table — valid
+    lowercase, uppercase (→ lowered), short-group (→ zero-padded, the
+    UUID.fromString/toString normalization) and malformed (→ 'unknown') —
+    plus a decimal(30,0) column formatted to text."""
+    d = _T(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("u:"), F.col("doc_id").cast("string")))
+    full = F.concat_ws(
+        "-", F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
+        F.substring(h, 17, 4), F.substring(h, 21, 12),
+    )
+    short = F.concat_ws(
+        "-", F.substring(h, 1, 3), F.substring(h, 9, 2), F.substring(h, 13, 1),
+        F.substring(h, 17, 4), F.substring(h, 21, 5),
+    )
+    raw = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit("not-a-uuid"))
+        .when(F.col("doc_id") % 7 == 0, short)
+        .when(F.col("doc_id") % 3 == 0, F.upper(full))
+        .otherwise(full)
+    )
+    dec = ((F.col("doc_id") - 250) * 1000000007).cast("decimal(30,0)")
+    return d.select(
+        "doc_id",
+        fmt.fmt_uuid(raw).alias("uuid_fmt"),
+        fmt.fmt_null(dec.cast("string")).alias("dec_fmt"),
+    )
 
 
 # ------------------------------------------------ relational operator suite
@@ -217,11 +257,14 @@ def q_unpivot_region(spark, sf_dir):
 
 def q_selector_stats_documents(spark, sf_dir):
     d = _T(spark, sf_dir, "documents")
+    # avg_len scaled to an integer (×10⁴): the double itself is identical in
+    # both engines (exact int sum / count) but the driver's value hash is
+    # unstable on float representation — bigint is stable.
     return d.agg(
         F.countDistinct("text").cast("long").alias("ndv_text"),
         F.countDistinct("lang").cast("long").alias("ndv_lang"),
         F.countDistinct("source").cast("long").alias("ndv_source"),
-        F.round(F.avg(F.octet_length("text")), 4).alias("avg_len_text"),
+        F.round(F.avg(F.octet_length("text")) * 10000).cast("long").alias("avg_len_text_e4"),
         F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).cast("long").alias("n_null_text"),
     )
 
@@ -257,17 +300,24 @@ def q_fingerprint_documents(spark, sf_dir):
 
 
 def q_simhash_documents(spark, sf_dir):
-    return X.simhash64(_T(spark, sf_dir, "documents"), "doc_id")
+    return X.simhash(_T(spark, sf_dir, "documents"), "doc_id")
 
 
 def q_jaccard_pairs_documents(spark, sf_dir):
+    # df_cap bounds the hot-shingle self-join buckets (ubiquitous 4-grams go
+    # near-quadratic otherwise); the oracle mirrors the cap so the output is
+    # exact over the capped shingle universe.
     d = _T(spark, sf_dir, "documents")
-    return X.all_pairs_jaccard(d, "doc_id", n=4, threshold=0.2, max_keys=120)
+    return X.all_pairs_jaccard(d, "doc_id", n=4, threshold=0.2, max_keys=120, df_cap=100)
 
 
 def q_minhash_signatures(spark, sf_dir):
     d = _T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return X.minhash_signatures(d, "doc_id", n=4, num_perm=16)
+    sigs = X.minhash_signatures(d, "doc_id", n=4, num_perm=16)
+    # canonicalizer-safe scalar projection of the signature array
+    return sigs.select(
+        "key", F.concat_ws(",", F.transform("sig", lambda v: v.cast("string"))).alias("sig_csv")
+    )
 
 
 def q_minhash_near_dups(spark, sf_dir):
@@ -283,9 +333,10 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
+    # dim inferred inside the (Arrow-batched) signature UDF — no driver-side
+    # action in the query-builder path
     e = _T(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
-    return sim.lsh_topk(e, e.filter(F.col("vec_id") < 8), dim=dim, k=5).withColumn(
+    return sim.lsh_topk(e, e.filter(F.col("vec_id") < 8), k=5).withColumn(
         "rank", F.col("rank").cast("long")
     )
 
@@ -366,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_format_strings": q_csv_format_strings,
         "csv_format_timestamps": q_csv_format_timestamps,
         "csv_format_floats": q_csv_format_floats,
+        "csv_format_uuid_decimal": q_csv_format_uuid_decimal,
         "agg_pricing_summary": q_agg_pricing_summary,
         "window_topk_orders": q_window_topk_orders,
         "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
@@ -407,7 +459,8 @@ _STOP = {
 
 def _minhash_oracle(num_perm: int = 16) -> str:
     """Programmatically mirror dedup.minhash_signatures: same universal-hash
-    parameters, same 32-bit md5-derived shingle hash, same Mersenne prime."""
+    parameters, same 32-bit md5-derived shingle hash, same Mersenne prime.
+    The signature is emitted comma-joined (canonicalizer-safe scalar)."""
     m = (1 << 61) - 1
     perms = [(2 * j + 3, (j * j + 7) % 1000003) for j in range(num_perm)]
     mins = ", ".join(f"CAST(min((h * {a} + {b}) % {m}) AS BIGINT)" for a, b in perms)
@@ -417,7 +470,51 @@ def _minhash_oracle(num_perm: int = 16) -> str:
                    WHERE text IS NOT NULL AND length(text) >= 4 AND doc_id < 200),
         sh AS (SELECT DISTINCT doc_id AS key, substring(text, i, 4) AS shingle FROM e),
         h AS (SELECT key, CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h FROM sh)
-        SELECT key, [{mins}] AS sig FROM h GROUP BY key
+        SELECT key, concat_ws(',', {mins}) AS sig_csv FROM h GROUP BY key
+    """
+
+
+def _minhash_near_dups_oracle(
+    max_key: int = 250, n: int = 4, num_perm: int = 32, bands: int = 8,
+    threshold: float = 0.5,
+) -> str:
+    """Full-pipeline oracle for dedup.minhash_near_dups: identical
+    signatures, identical md5(band-values) buckets (dedup.lsh_candidate_pairs
+    uses the portable md5 bucket precisely so DuckDB can replicate it),
+    candidate equi-join, exact Jaccard verification of candidates only."""
+    m = (1 << 61) - 1
+    rpb = num_perm // bands
+    perms = [(2 * j + 3, (j * j + 7) % 1000003) for j in range(num_perm)]
+    mins = ", ".join(
+        f"CAST(min((h * {a} + {b}) % {m}) AS BIGINT) AS m{j}" for j, (a, b) in enumerate(perms)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT key, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"m{b * rpb + r}" for r in range(rpb))
+        + ")) AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH e AS (SELECT doc_id, text, unnest(range(1, length(text) - {n - 2})) AS i
+                   FROM documents
+                   WHERE text IS NOT NULL AND length(text) >= {n} AND doc_id < {max_key}),
+        sh AS (SELECT DISTINCT doc_id AS key, substring(text, i, {n}) AS shingle FROM e),
+        h AS (SELECT key, CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h FROM sh),
+        sig AS (SELECT key, {mins} FROM h GROUP BY key),
+        banded AS ({band_selects}),
+        cand AS (SELECT DISTINCT a.key AS key_a, b.key AS key_b
+                 FROM banded a JOIN banded b
+                   ON a.band = b.band AND a.bucket = b.bucket AND a.key < b.key),
+        sizes AS (SELECT key, count(*) AS n_sh FROM sh GROUP BY key),
+        inter AS (SELECT c.key_a, c.key_b, count(*) AS n_inter
+                  FROM cand c
+                  JOIN sh a ON a.key = c.key_a
+                  JOIN sh b ON b.key = c.key_b AND b.shingle = a.shingle
+                  GROUP BY c.key_a, c.key_b)
+        SELECT key_a, key_b,
+               round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter JOIN sizes sa ON key_a = sa.key JOIN sizes sb ON key_b = sb.key
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
     """
 
 
@@ -443,7 +540,15 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "roundtrip_lineitem": f"SELECT {li} FROM lineitem",
         "roundtrip_events": "SELECT event_id, ts, user_id, event_type, value, props FROM events",
-        "roundtrip_embeddings": "SELECT vec_id, embedding, label FROM embeddings",
+        "roundtrip_embeddings": """
+            SELECT vec_id,
+                   array_to_string(
+                     list_transform(embedding,
+                                    v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)),
+                     ',') AS emb_q,
+                   label
+            FROM embeddings
+        """,
         "setop_high_value_orders": """
             SELECT o_orderkey, o_custkey FROM orders
             EXCEPT ALL
@@ -466,8 +571,36 @@ def oracle_sql() -> dict[str, str]:
         "csv_format_timestamps": """
             SELECT event_id,
                    CASE WHEN ts IS NULL THEN 'null'
-                        ELSE '''' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z''' END AS ts_fmt
+                        WHEN epoch_us(ts) % 1000000 <> 0
+                          THEN '''' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z'''
+                        WHEN epoch_us(ts) % 60000000 <> 0
+                          THEN '''' || strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z'''
+                        ELSE '''' || strftime(ts, '%Y-%m-%dT%H:%M') || 'Z''' END AS ts_fmt
             FROM events
+        """,
+        "csv_format_uuid_decimal": r"""
+            WITH src AS (
+              SELECT doc_id, md5('u:' || CAST(doc_id AS VARCHAR)) AS h FROM documents
+            ), raw AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0 THEN 'not-a-uuid'
+                          WHEN doc_id % 7 = 0 THEN concat_ws('-', h[1:3], h[9:10], h[13:13], h[17:20], h[21:25])
+                          WHEN doc_id % 3 = 0 THEN upper(concat_ws('-', h[1:8], h[9:12], h[13:16], h[17:20], h[21:32]))
+                          ELSE concat_ws('-', h[1:8], h[9:12], h[13:16], h[17:20], h[21:32])
+                     END AS u
+              FROM src
+            )
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(u, '^[0-9a-fA-F]{1,8}-[0-9a-fA-F]{1,4}-[0-9a-fA-F]{1,4}-[0-9a-fA-F]{1,4}-[0-9a-fA-F]{1,12}$')
+                        THEN '''' || concat_ws('-',
+                               lpad(string_split(lower(u), '-')[1], 8, '0'),
+                               lpad(string_split(lower(u), '-')[2], 4, '0'),
+                               lpad(string_split(lower(u), '-')[3], 4, '0'),
+                               lpad(string_split(lower(u), '-')[4], 4, '0'),
+                               lpad(string_split(lower(u), '-')[5], 12, '0')) || ''''
+                        ELSE '''unknown''' END AS uuid_fmt,
+                   CAST(CAST((doc_id - 250) * 1000000007 AS DECIMAL(30,0)) AS VARCHAR) AS dec_fmt
+            FROM raw
         """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -513,7 +646,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT text) AS ndv_text,
                    count(DISTINCT lang) AS ndv_lang,
                    count(DISTINCT source) AS ndv_source,
-                   round(avg(strlen(text)), 4) AS avg_len_text,
+                   CAST(round(avg(strlen(text)) * 10000) AS BIGINT) AS avg_len_text_e4,
                    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null_text
             FROM documents
         """,
@@ -564,7 +697,9 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (SELECT doc_id, text, unnest(range(1, length(text) - 2)) AS i
                        FROM documents
                        WHERE text IS NOT NULL AND length(text) >= 4 AND doc_id < 120),
-            sh AS (SELECT DISTINCT doc_id AS key, substring(text, i, 4) AS shingle FROM e),
+            sh0 AS (SELECT DISTINCT doc_id AS key, substring(text, i, 4) AS shingle FROM e),
+            keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100),
+            sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
             sizes AS (SELECT key, count(*) AS n_sh FROM sh GROUP BY key),
             inter AS (SELECT a.key AS key_a, b.key AS key_b, count(*) AS n_inter
                       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.key < b.key
@@ -574,6 +709,7 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON key_a = sa.key JOIN sizes sb ON key_b = sb.key
             WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
         """,
+        "minhash_near_dups": _minhash_near_dups_oracle(),
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
             s AS (SELECT q.q_id, e.vec_id AS n_id,

@@ -47,6 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
     ver = sub.add_parser("verify", help="bit-identity check: chunks vs source")
     ver.add_argument("--input", required=True)
     ver.add_argument("--chunks", required=True)
+    ver.add_argument("--job-id", default="encode")
 
     csv = sub.add_parser("csv", help="reference entry point A: parquet → csv")
     csv.add_argument("--input", required=True)
@@ -99,12 +100,19 @@ def main(argv: list[str] | None = None) -> int:
         decode_table(chunks, schema).write.mode("overwrite").parquet(args.out)
         print(json.dumps({"decoded_to": args.out}))
     elif args.cmd == "verify":
-        from pyspark.sql.types import StructType
-
         from parquet2csv_spark.operators import decode_table, multiset_diff
+        from parquet2csv_spark.plans.lineage import EncodeJob
+        from parquet2csv_spark.sources.catalog import open_catalog
 
         src = spark.read.parquet(args.input)
-        chunks = spark.read.parquet(f"{args.chunks.rstrip('/')}/chunks")
+        # verify ONLY lineage-committed chunks: orphan chunk files left by a
+        # crashed run (later resumed) would otherwise decode as duplicates
+        # and fail bit-identity even though the committed dataset is correct
+        snap = open_catalog(spark).snapshot(args.input)
+        job = EncodeJob(
+            spark, args.chunks, snapshot_id=snap.snapshot_id, job_id=args.job_id
+        )
+        chunks = job.chunks()
         dec = decode_table(chunks, src.schema)
         diff = multiset_diff(src, dec).count()
         print(json.dumps({"multiset_diff": diff, "bit_identical": diff == 0}))

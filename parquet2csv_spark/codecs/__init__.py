@@ -224,12 +224,20 @@ def encode_array(arr: pa.Array, spec: str,
     return hdr + body
 
 
-def decode_array(frame: bytes) -> pa.Array:
-    """Inverse of :func:`encode_array` — bit-identical reconstruction."""
+def decode_array(frame: bytes | memoryview) -> pa.Array:
+    """Inverse of :func:`encode_array` — bit-identical reconstruction.
+
+    Accepts any buffer-protocol object (operators.decode passes zero-copy
+    memoryviews over the Arrow batch) — slices stay buffer views; only the
+    tiny dtype string is materialized."""
+    if not isinstance(frame, (bytes, memoryview)):
+        frame = memoryview(frame)
+    if isinstance(frame, memoryview) and frame.format != "B":
+        frame = frame.cast("B")
     ver, tag, dlen = frame[0], frame[1], frame[2]
     assert ver == 1, f"bad frame version {ver}"
     off = 3
-    typ = vec.dtype_from_str(frame[off : off + dlen].decode())
+    typ = vec.dtype_from_str(bytes(frame[off : off + dlen]).decode())
     off += dlen
     (n,) = _U32.unpack_from(frame, off)
     (null_count,) = _U32.unpack_from(frame, off + 4)

@@ -60,7 +60,10 @@ def unpack(buf: bytes, n: int, width: int) -> np.ndarray:
     if width in _BYTE_WIDTHS:
         return np.frombuffer(buf, dtype=_BYTE_WIDTHS[width], count=n).astype(np.uint64)
     pad = (-len(buf)) % 8
-    words = np.frombuffer(buf + b"\x00" * (pad + 8), dtype=np.uint64)
+    # single copy into a padded word buffer (also accepts the zero-copy
+    # memoryviews operators.decode passes — no bytes concatenation)
+    words = np.zeros((len(buf) + pad + 8) // 8, dtype=np.uint64)
+    words.view(np.uint8)[: len(buf)] = np.frombuffer(buf, dtype=np.uint8)
     offs = np.arange(n, dtype=np.uint64) * np.uint64(width)
     q = (offs >> np.uint64(6)).astype(np.int64)
     r = offs & np.uint64(63)

@@ -31,11 +31,18 @@ def asof_join(
     ``<ts><suffix>`` (the matched right timestamp; null when no match).
     """
     marker = "_asof_is_right"
+    payload = "_asof_payload"
+    # forward-fill ONE struct of (ts, *right_cols) so every filled value
+    # comes from the SAME matched right row — per-column fills would stitch
+    # values from different right rows when the matched row has NULLs
+    # (DuckDB's ASOF JOIN oracle returns the matched row's NULL instead)
     r = right.select(
         F.col(key),
         F.col(ts),
-        F.col(ts).alias(f"{ts}{suffix}"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.struct(
+            F.col(ts).alias(f"{ts}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        ).alias(payload),
     ).withColumn(marker, F.lit(1))
     l = left.withColumn(marker, F.lit(0))
     u = l.unionByName(r, allowMissingColumns=True)
@@ -45,6 +52,8 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col(marker).desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in [ts] + right_cols:
-        u = u.withColumn(f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w))
-    return u.filter(F.col(marker) == 0).drop(marker)
+    u = u.withColumn(payload, F.last(payload, ignorenulls=True).over(w))
+    return (
+        u.filter(F.col(marker) == 0)
+        .select(*left.columns, f"{payload}.*")
+    )

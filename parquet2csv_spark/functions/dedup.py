@@ -80,12 +80,18 @@ def lsh_candidate_pairs(
     sig_df: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
     """Banding: hash each band of the signature, equi-join per band bucket.
-    Returns distinct (key_a, key_b) with key_a < key_b."""
+    Returns distinct (key_a, key_b) with key_a < key_b.
+
+    The band bucket is md5 of the comma-joined band values — deterministic
+    AND portable (DuckDB computes the identical bucket, so the whole
+    pipeline is oracle-checkable end to end)."""
     banded = sig_df.select(
         "key",
         F.posexplode(
             F.array(*[
-                F.hash(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+                F.md5(F.concat_ws(",", *[
+                    F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)
+                ]))
                 for b in range(bands)
             ])
         ).alias("band", "bucket"),
@@ -151,12 +157,25 @@ def ngram_jaccard_on_pairs(
 def all_pairs_jaccard(
     df: DataFrame, key_col: str, text_col: str = "text",
     n: int = 3, threshold: float = 0.5, max_keys: int | None = None,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over all same-shingle pairs (oracle-checkable; the
-    shingle equi-join bounds cost — only pairs sharing ≥1 shingle appear)."""
+    shingle equi-join bounds cost — only pairs sharing ≥1 shingle appear).
+
+    ``df_cap``: drop shingles whose document frequency exceeds the cap
+    BEFORE the self-join (both from the intersection and the set sizes, so
+    Jaccard stays consistent over the reduced shingle universe). Ubiquitous
+    n-grams (whitespace runs, 'the ') otherwise appear in ~every document
+    and make one join bucket quadratic+skewed — the cap bounds every bucket
+    to df_cap² pairs. With df_cap ≥ the corpus max frequency the output is
+    exactly the uncapped Jaccard (how the sf0.01 oracle is kept exact)."""
     sh = shingles(df, key_col, text_col, n)
     if max_keys is not None:
         sh = sh.filter(F.col("key") < max_keys)
+    if df_cap is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        keep = freq.filter(F.col("_df") <= df_cap).select("shingle")
+        sh = sh.join(keep, on="shingle", how="left_semi")
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -177,10 +196,16 @@ def all_pairs_jaccard(
     )
 
 
-def simhash64(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per-bit majority vote of token
-    hashes, weighted by token frequency. All JVM-side: explode tokens →
-    cross join a 64-row bit table → conditional sum → bit assembly."""
+SIMHASH_BITS = 60  # bits 0..59 only, so the assembled value stays a
+                   # non-negative signed int64 (bit 63 would flip the sign)
+
+
+def simhash(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash over whitespace tokens: per-bit majority vote of token
+    hashes, weighted by token frequency. All JVM-side and map-side
+    combinable: explode tokens → ONE groupBy(key) with 60 conditional-sum
+    aggregates (each token row contributes once — no row multiplication
+    before the shuffle) → bit assembly from the vote columns."""
     toks = (
         df.filter(F.col(text_col).isNotNull())
         .select(
@@ -189,18 +214,18 @@ def simhash64(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
         )
         .withColumn("h", _doc_hash(F.col("tok")))
     )
-    bits = toks.sparkSession.range(60).select(F.col("id").cast("int").alias("bit"))
-    votes = (
-        toks.crossJoin(F.broadcast(bits))
-        .groupBy("key", "bit")
-        .agg(
-            F.sum(
-                F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
-            ).alias("vote")
-        )
-    )
-    return votes.groupBy("key").agg(
+    votes = [
         F.sum(
-            F.when(F.col("vote") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
-    )
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    assembled = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        assembled = term if assembled is None else assembled + term
+    return toks.groupBy("key").agg(*votes).select("key", assembled.alias("simhash"))
+
+
+# back-compat alias for the (misnamed) round-1 entry point
+simhash64 = simhash

@@ -31,7 +31,10 @@ SENTINEL_1900_01_02_MS = -2208902400000
 SENTINEL_1900_01_01 = "1900-01-01T00:00:00.000-00:00"
 SENTINEL_1900_01_02 = "1900-01-02T00:00:00.000-00:00"
 
-_UUID_RE = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+# Java UUID.fromString (ParquetToCsv.java:240) accepts non-canonical short
+# hex groups ('1-2-3-4-5') and uppercase, normalizing them in toString —
+# hence {1,n} group lengths here plus zero-padding in fmt_uuid
+_UUID_RE = "^[0-9a-fA-F]{1,8}-[0-9a-fA-F]{1,4}-[0-9a-fA-F]{1,4}-[0-9a-fA-F]{1,4}-[0-9a-fA-F]{1,12}$"
 NULL_TEXT = "null"
 
 
@@ -50,11 +53,15 @@ def fmt_null(c: Column) -> Column:
 def _exact_decimal_str(s: pd.Series) -> pd.Series:
     # Decimal(float) == Java new BigDecimal(double): the exact binary
     # expansion, NOT shortest-round-trip (ParquetToCsv.java:180-203 and the
-    # long justification comment there)
+    # long justification comment there). str(Decimal) follows the same
+    # General Decimal Arithmetic to-scientific-string rule as Java
+    # BigDecimal.toString — switches to scientific notation when the
+    # adjusted exponent < -6 (e.g. 1e-7 → '9.99...E-8'), matching the
+    # reference byte-for-byte in both regimes.
     def one(v):
         if v is None or pd.isna(v):
             return None
-        return format(Decimal(float(v)), "f")
+        return str(Decimal(float(v)))
 
     return s.map(one)
 
@@ -65,13 +72,25 @@ def fmt_float_exact(c: Column) -> Column:
 
 
 def fmt_timestamp_iso(c: Column, quote_it: bool = True) -> Column:
-    """F3: epoch → ISO-8601 with millis + zone offset in the session zone,
-    with the two 1900 sentinels short-circuited to fixed literals."""
+    """F3: epoch → ISO-8601 in the session zone, with the two 1900 sentinels
+    short-circuited to fixed literals.
+
+    The reference formats via OffsetDateTime.toString()
+    (ParquetToCsv.java:270), which omits trailing zero components: a
+    whole-second timestamp renders '...T12:30:45Z' (no '.000') and a
+    whole-minute one '...T12:30Z' (no seconds) — mirrored here with a
+    conditional on the sub-second / sub-minute remainder."""
     # cast handles TIMESTAMP_NTZ parquet columns: with the session zone
     # pinned to UTC the wall-clock is preserved (D2 zone handling analog)
     t = c.cast("timestamp")
-    ms = (F.unix_micros(t) / 1000).cast("long")
-    iso = F.date_format(t, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+    us = F.unix_micros(t)
+    ms = (us / 1000).cast("long")
+    # pmod → non-negative remainders, so pre-1970 epochs classify correctly
+    iso = (
+        F.when(F.pmod(us, F.lit(1_000_000)) != 0, F.date_format(t, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
+        .when(F.pmod(us, F.lit(60_000_000)) != 0, F.date_format(t, "yyyy-MM-dd'T'HH:mm:ssXXX"))
+        .otherwise(F.date_format(t, "yyyy-MM-dd'T'HH:mmXXX"))
+    )
     body = (
         F.when(ms == SENTINEL_1900_01_01_MS, F.lit(SENTINEL_1900_01_01))
         .when(ms == SENTINEL_1900_01_02_MS, F.lit(SENTINEL_1900_01_02))
@@ -81,11 +100,22 @@ def fmt_timestamp_iso(c: Column, quote_it: bool = True) -> Column:
 
 
 def fmt_uuid(c: Column) -> Column:
-    """F5: canonical lowercase uuid or the literal ``unknown``, quoted."""
+    """F5: canonical lowercase uuid or the literal ``unknown``, quoted.
+
+    Reproduces Java UUID.fromString → toString normalization
+    (ParquetToCsv.java:237-246): short hex groups are zero-padded to
+    8-4-4-4-12 and the result is lowercased; anything the relaxed pattern
+    rejects renders as 'unknown'."""
     ok = c.rlike(_UUID_RE)
+    parts = F.split(F.lower(c), "-")
+    canon = F.concat_ws(
+        "-",
+        F.lpad(parts[0], 8, "0"), F.lpad(parts[1], 4, "0"), F.lpad(parts[2], 4, "0"),
+        F.lpad(parts[3], 4, "0"), F.lpad(parts[4], 12, "0"),
+    )
     return fmt_null(
         F.when(c.isNull(), F.lit(None)).otherwise(
-            quote(F.when(ok, F.lower(c)).otherwise(F.lit("unknown")))
+            quote(F.when(ok, canon).otherwise(F.lit("unknown")))
         )
     )
 

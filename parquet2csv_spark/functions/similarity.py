@@ -66,25 +66,31 @@ def cosine_topk(
 _SIG_SCHEMA = T.ArrayType(T.IntegerType())
 
 
-def _hyperplane_udf(dim: int, bits: int, bands: int, seed: int):
+def _hyperplane_udf(bits: int, bands: int, seed: int, dim: int | None = None):
+    """Arrow-batched hyperplane signatures: the whole batch is stacked into
+    one (N×dim) matrix and signed with ONE (N×dim)@(dim×bits) matmul — no
+    per-row Python. ``dim`` defaults to the first non-null vector's length
+    (planes are a pure function of (seed, dim), so inference is stable)."""
+    per_band_max = bits // bands
+    assert per_band_max <= 31, "bucket must fit IntegerType"
+
     @F.pandas_udf(_SIG_SCHEMA)
     def sig(embs: pd.Series) -> pd.Series:
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, bits)).astype(np.float32)
-        per_band = bits // bands
-
-        def one(v):
-            if v is None:
-                return None
-            x = np.asarray(v, dtype=np.float32)
-            b = (x @ planes > 0).astype(np.int64)
-            out = []
-            for i in range(bands):
-                seg = b[i * per_band : (i + 1) * per_band]
-                out.append(int((seg << np.arange(per_band)).sum()))
+        mask = embs.notna().to_numpy()
+        out = pd.Series([None] * len(embs), dtype=object)
+        if not mask.any():
             return out
-
-        return embs.map(one)
+        vals = embs[mask].tolist()
+        d = dim if dim is not None else len(vals[0])
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((d, bits)).astype(np.float32)
+        x = np.stack([np.asarray(v, dtype=np.float32) for v in vals])
+        per_band = bits // bands
+        signs = (x @ planes > 0)[:, : bands * per_band]
+        weights = (1 << np.arange(per_band, dtype=np.int64)).astype(np.int32)
+        buckets = signs.reshape(len(x), bands, per_band).astype(np.int32) @ weights
+        out.iloc[np.flatnonzero(mask)] = list(buckets)
+        return out
 
     return sig
 
@@ -92,7 +98,7 @@ def _hyperplane_udf(dim: int, bits: int, bands: int, seed: int):
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
-    dim: int,
+    dim: int | None = None,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -103,7 +109,7 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: match on any LSH band bucket, exact re-rank of
     candidates. Recall measured against cosine_topk in tests."""
-    sig = _hyperplane_udf(dim, bits, bands, seed)
+    sig = _hyperplane_udf(bits, bands, seed, dim)
     v = vectors.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), sig(F.col(vec_col)).alias("n_sig")
     )
@@ -128,22 +134,67 @@ def lsh_topk(
     )
 
 
+def _band_plan(threshold: float, target_miss: float = 1e-9) -> tuple[int, int]:
+    """(bits_per_band, n_bands) such that a pair at cosine == threshold is
+    missed by every band with probability ≤ target_miss. Per-bit agreement
+    p = 1 - acos(t)/π (sign-LSH, Charikar 2002); bits_per_band targets a
+    ~0.5 per-band match at the boundary, then bands repeat to the miss
+    budget. Recall is monotone: pairs above the threshold are safer."""
+    import math
+
+    t = min(max(threshold, -0.999), 0.999)
+    p = 1.0 - math.acos(t) / math.pi
+    if p <= 0.0:
+        return 1, 1
+    b = min(24, max(1, round(math.log(0.5) / math.log(p))))
+    q = 1.0 - p**b
+    r = max(1, math.ceil(math.log(target_miss) / math.log(q))) if q > 0 else 1
+    return b, r
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    target_miss: float = 1e-9,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact): all (a < b) pairs with
-    cosine ≥ threshold. The exactness baseline a MinHash/LSH pass is
-    verified against; at corpus scale use lsh_topk's band join to generate
-    candidates instead of the cross join."""
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    cos = (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))))
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH band equi-join
+    generates candidates, exact cosine verifies them. Never a cartesian —
+    the candidate join is an equi-join on (band, bucket), shuffled by key.
+
+    The band plan is sized from (threshold, target_miss) so a qualifying
+    pair is missed with probability ≤ target_miss: over C(N,2) test-scale
+    pairs the expected misses are ≪ 1, which is why the output still
+    matches the exact all-pairs DuckDB oracle. For realistic near-dup
+    thresholds (≥0.8) the buckets prune hard; at low thresholds sign-LSH
+    provably cannot prune (candidates approach all pairs) but the plan
+    still distributes as an equi-join instead of a nested loop."""
+    b, r = _band_plan(threshold, target_miss)
+    sig = _hyperplane_udf(bits=b * r, bands=r, seed=seed)
+    v = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), sig(F.col(vec_col)).alias("_sig")
+    )
+    banded = v.select("_id", F.posexplode("_sig").alias("band", "bucket"))
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("_cos", cos)
         .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b", F.round("_cos", round_digits).alias("cos"))

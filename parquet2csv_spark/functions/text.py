@@ -99,30 +99,34 @@ _WINNOW_SCHEMA = T.ArrayType(T.LongType())
 
 @F.pandas_udf(_WINNOW_SCHEMA)
 def _winnow_udf(texts: pd.Series) -> pd.Series:
-    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003): rolling
-    polynomial hash over k-grams, minimum per sliding window. Vectorized
-    numpy per document (bytes-level, no per-char Python)."""
-    K, W, MOD, B = 8, 16, (1 << 61) - 1, 257
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003): polynomial
+    hash over k-grams, minimum per sliding window. All arithmetic is native
+    uint64 with wraparound (hash family = mod 2^64, masked to 63 bits for
+    LongType) — no dtype=object big-int math in the hot path."""
+    K, W, B = 8, 16, np.uint64(257)
+
+    # B^(K-1-j) mod 2^64, computed once per batch
+    powers = np.empty(K, dtype=np.uint64)
+    powers[K - 1] = 1
+    for j in range(K - 2, -1, -1):
+        powers[j] = powers[j + 1] * B  # uint64 wraparound is the modulus
 
     def one(t):
         if t is None:
             return None
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
         n = len(b)
         if n < K:
             return []
-        # k-gram polynomial hashes via prefix sums in O(n) vector ops
-        powers = np.power(B, np.arange(K, dtype=np.int64), dtype=object)  # exact
-        # windowed dot product: hash[i] = sum b[i+j]*B^(K-1-j) mod MOD
-        h = np.zeros(n - K + 1, dtype=object)
+        h = np.zeros(n - K + 1, dtype=np.uint64)
         for j in range(K):  # K=8 vector passes, not per-char Python
-            h = h + b[j : n - K + 1 + j] * int(powers[K - 1 - j])
-        h = (h % MOD).astype(np.int64)
+            h += b[j : n - K + 1 + j] * powers[j]
+        h &= np.uint64((1 << 63) - 1)  # non-negative in int64
         if len(h) <= W:
             return [int(h.min())]
         win = np.lib.stride_tricks.sliding_window_view(h, W)
         mins = win.min(axis=1)
-        return np.unique(mins).tolist()
+        return np.unique(mins).astype(np.int64).tolist()
 
     return texts.map(one)
 

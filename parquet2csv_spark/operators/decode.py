@@ -86,17 +86,25 @@ def decode_table(
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             n_chunks = tbl.num_rows
-            cols_list = tbl["cols"]
+            # Arrow accessors, not as_py(): per-frame payloads are handed to
+            # decode_array as zero-copy buffers over the Arrow batch memory
+            # instead of materializing every chunk's struct rows (and copying
+            # every binary frame) through Python lists
+            cols_list = tbl["cols"].combine_chunks()
+            offs = cols_list.offsets.to_numpy()
+            structs = cols_list.values  # raw child — indices match .offsets
+            name_vals = structs.field("name").to_pylist()  # tiny strings
+            frame_vals = structs.field("frame")
             gks = tbl["group_key"].to_pylist()
             seqs = tbl["seq"].to_pylist()
             for i in range(n_chunks):
-                frames = cols_list[i].as_py() or []
-                by_name = {c["name"]: c for c in frames}
+                lo, hi = int(offs[i]), int(offs[i + 1])
+                by_name = {name_vals[p]: p for p in range(lo, hi)}
                 arrays = []
                 n_rows = 0
                 for j, name in enumerate(names):
-                    meta = by_name[name]
-                    arr = decode_array(meta["frame"])
+                    fbuf = frame_vals[by_name[name]].as_buffer()
+                    arr = decode_array(memoryview(fbuf))
                     n_rows = len(arr)
                     want = target.field(j).type
                     if arr.type != want:

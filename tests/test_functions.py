@@ -251,3 +251,97 @@ def test_asof_join_backward_inclusive(spark):
     assert out[(7, "c2")] == (200.0, t(10))     # equal ts → inclusive
     assert out[(7, "c0")] == (None, None)       # nothing before 00:02
     assert out[(8, "c3")] == (None, None)       # key with no right rows
+
+
+# ------------------------------------------------- round-2 parity additions
+
+def test_fmt_float_scientific_regime(spark):
+    # ADVICE r1: Java BigDecimal(double).toString() switches to scientific
+    # notation when the adjusted exponent < -6; str(Decimal) follows the
+    # same General Decimal Arithmetic rule
+    df = spark.createDataFrame([(1e-7,), (1e-6,), (123.456,)], "v double")
+    out = [r[0] for r in df.select(fmt.fmt_float_exact(F.col("v"))).collect()]
+    assert out[0] == str(Decimal(1e-7)) and "E-8" in out[0]
+    assert out[1] == str(Decimal(1e-6))
+    assert out[2] == str(Decimal(123.456)) and "E" not in out[2]
+
+
+def test_fmt_timestamp_trailing_zero_trim(spark):
+    # OffsetDateTime.toString() omits '.000' and ':00' (ParquetToCsv.java:270)
+    ts_ms = datetime.datetime(2024, 3, 1, 12, 30, 45, 123000)
+    ts_s = datetime.datetime(2024, 3, 1, 12, 30, 45)
+    ts_m = datetime.datetime(2024, 3, 1, 12, 30)
+    df = spark.createDataFrame([(ts_ms,), (ts_s,), (ts_m,)], "v timestamp")
+    out = [r[0] for r in df.select(fmt.fmt_timestamp_iso(F.col("v"))).collect()]
+    assert out == [
+        "'2024-03-01T12:30:45.123Z'",
+        "'2024-03-01T12:30:45Z'",
+        "'2024-03-01T12:30Z'",
+    ]
+
+
+def test_fmt_uuid_normalization(spark):
+    # Java UUID.fromString accepts short hex groups and uppercase,
+    # normalizing in toString (zero-pad to 8-4-4-4-12, lowercase)
+    df = spark.createDataFrame(
+        [("1-2-3-4-5",), ("ABC-12-0-FF-1A2B",), ("123456789-2-3-4-5",)], "v string"
+    )
+    out = [r[0] for r in df.select(fmt.fmt_uuid(F.col("v"))).collect()]
+    assert out[0] == "'00000001-0002-0003-0004-000000000005'"
+    assert out[1] == "'00000abc-0012-0000-00ff-000000001a2b'"
+    assert out[2] == "'unknown'"  # first group > 8 hex digits
+
+
+def test_asof_join_null_in_matched_row(spark):
+    # the matched right row's NULL must surface as NULL — not be stitched
+    # with a value from an EARLIER right row (ADVICE r1, asof.py)
+    from parquet2csv_spark.functions.asof import asof_join
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame([(7, t(8), "c1")], "user_id long, ts timestamp, name string")
+    right = spark.createDataFrame(
+        [(7, t(3), 100.0), (7, t(6), None)],
+        "user_id long, ts timestamp, score double",
+    )
+    r = asof_join(left, right, "user_id", "ts", ["score"]).first()
+    assert r["ts_r"] == t(6) and r["score_r"] is None
+
+
+def test_embedding_near_dups_plan_no_cartesian(spark):
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = sim.embedding_near_dups(df, 0.9)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_simhash_plan_no_crossjoin(spark, docs):
+    plan = simhash64(docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_all_pairs_jaccard_df_cap(spark, docs):
+    uncapped = {
+        (r["key_a"], r["key_b"]): r["jaccard"]
+        for r in all_pairs_jaccard(docs, "doc_id", threshold=0.4).collect()
+    }
+    # cap above the corpus max document frequency → identical output
+    capped = {
+        (r["key_a"], r["key_b"]): r["jaccard"]
+        for r in all_pairs_jaccard(docs, "doc_id", threshold=0.4, df_cap=10).collect()
+    }
+    assert capped == uncapped
+    # cap of 1 removes every shared shingle → no pairs at all
+    assert all_pairs_jaccard(docs, "doc_id", threshold=0.0, df_cap=1).count() == 0
+
+
+def test_lsh_topk_dim_inferred(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 12)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 2)
+    explicit = sorted(map(tuple, sim.lsh_topk(df, q, dim=12, k=3).collect()))
+    inferred = sorted(map(tuple, sim.lsh_topk(df, q, k=3).collect()))
+    assert explicit == inferred
