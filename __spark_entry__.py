@@ -518,6 +518,58 @@ def _minhash_near_dups_oracle(
     """
 
 
+def _ann_lsh_oracle(
+    dim: int = 64, bits: int = 48, bands: int = 6, k: int = 5,
+    seed: int = 42, n_queries: int = 8,
+) -> str:
+    """Full-pipeline oracle for similarity.lsh_topk: the hyperplane matrix
+    is a pure function of (seed, dim, bits) and the signature UDF computes
+    in float64, so exporting the planes as double literals lets DuckDB
+    re-derive the identical band buckets, candidates and exact re-rank."""
+    from parquet2csv_spark.functions.similarity import hyperplanes
+
+    planes = hyperplanes(dim, bits, seed)
+    per_band = bits // bands
+    dot_cols = ",\n                 ".join(
+        f"list_dot_product(e, [{', '.join(repr(float(x)) for x in planes[:, j])}]) AS d{j}"
+        for j in range(bits)
+    )
+    band_cols = ", ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN d{b * per_band + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(per_band)
+        )
+        + f") AS b{b}"
+        for b in range(bands)
+    )
+    banded = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, b{b} AS bucket FROM sig" for b in range(bands)
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        dots AS (SELECT vec_id,
+                 {dot_cols}
+                 FROM v),
+        sig AS (SELECT vec_id, {band_cols} FROM dots),
+        banded AS ({banded}),
+        cand AS (SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+                 FROM banded n JOIN banded q ON n.band = q.band AND n.bucket = q.bucket
+                 WHERE q.vec_id < {n_queries} AND n.vec_id <> q.vec_id),
+        s AS (SELECT c.q_id, c.n_id,
+                     list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(ne.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(ne.embedding AS DOUBLE[]), CAST(ne.embedding AS DOUBLE[])))) AS c
+              FROM cand c
+              JOIN embeddings qe ON qe.vec_id = c.q_id
+              JOIN embeddings ne ON ne.vec_id = c.n_id),
+        r AS (SELECT q_id, n_id, c,
+                     row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rank
+              FROM s)
+        SELECT q_id, rank, n_id, round(c, 4) AS cos FROM r WHERE rank <= {k}
+    """
+
+
 def _langid_oracle() -> str:
     hits = ", ".join(
         f"length(regexp_extract_all(lower(text), '\\b({pat})\\b')) AS hits_{lg}"
@@ -710,6 +762,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
         """,
         "minhash_near_dups": _minhash_near_dups_oracle(),
+        "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
             s AS (SELECT q.q_id, e.vec_id AS n_id,

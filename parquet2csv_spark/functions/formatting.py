@@ -154,8 +154,9 @@ def format_table(df: DataFrame, delimiter: str = ",") -> DataFrame:
 def parquet_to_csv(spark, in_path: str, out_dir: str, single_file: bool = False) -> None:
     """Entry-point-A parity (`prq2csv file.parquet` → file.csv,
     DataLoad.java:298-300): decode parquet, format every field, write CSV
-    with uppercased headers. Empty input → no output files with rows
-    (the reference deletes empty outputs, ParquetToCsv.java:110-113)."""
+    with uppercased headers. Empty input → the output is DELETED, exactly
+    like the reference (ParquetToCsv.java:110-113) — not left as
+    header-only/empty part files."""
     df = spark.read.parquet(in_path)
     fmt = format_table(df).drop("ROW_TEXT")
     if single_file:
@@ -163,3 +164,8 @@ def parquet_to_csv(spark, in_path: str, out_dir: str, single_file: bool = False)
     # quote="" disables the CSV writer's own quoting - the reference never
     # escapes (pseudo-csv, DataLoad.java:299); our F1 quoting is the payload
     fmt.write.mode("overwrite").option("header", True).option("quote", "").csv(out_dir)
+    if df.isEmpty():
+        # Hadoop FS API (not shutil) so the delete works on any cluster FS
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(out_dir)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)

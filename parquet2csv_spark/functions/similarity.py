@@ -66,6 +66,13 @@ def cosine_topk(
 _SIG_SCHEMA = T.ArrayType(T.IntegerType())
 
 
+def hyperplanes(dim: int, bits: int, seed: int = 42) -> "np.ndarray":
+    """The (dim × bits) hyperplane matrix used by the signature UDF — a pure
+    function of (seed, dim, bits), exported so an external oracle (DuckDB)
+    can re-derive the identical signatures from plane literals."""
+    return np.random.default_rng(seed).standard_normal((dim, bits))
+
+
 def _hyperplane_udf(bits: int, bands: int, seed: int, dim: int | None = None):
     """Arrow-batched hyperplane signatures: the whole batch is stacked into
     one (N×dim) matrix and signed with ONE (N×dim)@(dim×bits) matmul — no
@@ -82,9 +89,13 @@ def _hyperplane_udf(bits: int, bands: int, seed: int, dim: int | None = None):
             return out
         vals = embs[mask].tolist()
         d = dim if dim is not None else len(vals[0])
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((d, bits)).astype(np.float32)
-        x = np.stack([np.asarray(v, dtype=np.float32) for v in vals])
+        # float64 end to end: the float32->float64 cast is exact, so the
+        # plane dot products equal what SQL computes on CAST(... AS DOUBLE[])
+        # against the same plane literals — which is what makes the DuckDB
+        # oracle for the whole LSH pipeline possible (hyperplanes(dim, ...)
+        # exports the identical planes)
+        planes = hyperplanes(d, bits, seed)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vals])
         per_band = bits // bands
         signs = (x @ planes > 0)[:, : bands * per_band]
         weights = (1 << np.arange(per_band, dtype=np.int64)).astype(np.int32)

@@ -345,3 +345,15 @@ def test_lsh_topk_dim_inferred(spark):
     explicit = sorted(map(tuple, sim.lsh_topk(df, q, dim=12, k=3).collect()))
     inferred = sorted(map(tuple, sim.lsh_topk(df, q, k=3).collect()))
     assert explicit == inferred
+
+
+def test_parquet_to_csv_empty_input_deletes_output(spark, tmp_path):
+    # reference parity: empty input → output deleted, not an empty CSV
+    # (ParquetToCsv.java:110-113)
+    import os
+
+    src = str(tmp_path / "empty.parquet")
+    out = str(tmp_path / "out_csv")
+    spark.createDataFrame([], "id bigint, name string").write.parquet(src)
+    fmt.parquet_to_csv(spark, src, out)
+    assert not os.path.exists(out)
