@@ -280,6 +280,11 @@ def q_token_count_documents(spark, sf_dir):
     return d.select("doc_id", tx.token_count(F.col("text")).cast("long").alias("n_tokens"))
 
 
+def q_token_count_bpe_documents(spark, sf_dir):
+    d = _T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return d.select("doc_id", tx.token_count_bpe(F.col("text")).cast("long").alias("n_bpe_tokens"))
+
+
 def q_quality_scores_documents(spark, sf_dir):
     d = _T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return tx.quality_features(d).select(
@@ -369,6 +374,54 @@ def q_approx_stats_events(spark, sf_dir):
     )
 
 
+def q_exact_stats_events(spark, sf_dir):
+    # the exact twins of the sketches above (oracle-checkable): interpolated
+    # percentiles + exact distinct count, quantized ×1e4 for stable hashing
+    ev = _T(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.round(F.percentile("value", F.lit(0.5)) * 10000).cast("long").alias("p50_e4"),
+        F.round(F.percentile("value", F.lit(0.9)) * 10000).cast("long").alias("p90_e4"),
+        F.round(F.min("value") * 10000).cast("long").alias("min_e4"),
+        F.round(F.max("value") * 10000).cast("long").alias("max_e4"),
+    )
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Elementwise mean embedding per label (mean-pooling — the array
+    aggregation a training pipeline uses for class/topic centroids):
+    posexplode → per-(label, pos) avg → reassemble in position order."""
+    e = _T(spark, sf_dir, "embeddings")
+    per_pos = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+    )
+    return (
+        per_pos.groupBy("label")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda st: F.round(st["m"] * 10000).cast("long").cast("string"),
+                ),
+            ).alias("centroid_e4"),
+            F.count("*").alias("dim"),
+        )
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    # nprobe == n_centroids probes every inverted list → exactly the
+    # brute-force top-k (the oracle); pruning recall is pytest-checked
+    e = _T(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        e, e.filter(F.col("vec_id") < 8), n_centroids=8, nprobe=8, k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_stream_windowed_counts(spark, sf_dir):
     from parquet2csv_spark.streaming.windows import windowed_event_counts
 
@@ -428,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_documents_systematic": q_sample_documents_systematic,
         "dedup_exact_documents": q_dedup_exact_documents,
         "token_count_documents": q_token_count_documents,
+        "token_count_bpe_documents": q_token_count_bpe_documents,
         "quality_scores_documents": q_quality_scores_documents,
         "langid_documents": q_langid_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -437,9 +491,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_centroids": q_embedding_centroids,
         "sessionize_events": q_sessionize_events,
         "approx_stats_events": q_approx_stats_events,
+        "exact_stats_events": q_exact_stats_events,
         "stream_windowed_counts": q_stream_windowed_counts,
         "asof_join_events": q_asof_join_events,
         "json_extract_events": q_json_extract_events,
@@ -730,6 +787,31 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "langid_documents": _langid_oracle(),
+        "token_count_bpe_documents": r"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text,
+                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS n_bpe_tokens
+            FROM documents WHERE text IS NOT NULL
+        """,
+        "exact_stats_events": """
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   count(*) AS n_events,
+                   CAST(round(quantile_cont(value, 0.5) * 10000) AS BIGINT) AS p50_e4,
+                   CAST(round(quantile_cont(value, 0.9) * 10000) AS BIGINT) AS p90_e4,
+                   CAST(round(min(value) * 10000) AS BIGINT) AS min_e4,
+                   CAST(round(max(value) * 10000) AS BIGINT) AS max_e4
+            FROM events
+        """,
+        "embedding_centroids": """
+            WITH pos AS (SELECT unnest(range(64)) AS pos),
+            ex AS (SELECT e.label, p.pos, CAST(e.embedding[p.pos + 1] AS DOUBLE) AS v
+                   FROM embeddings e, pos p),
+            m AS (SELECT label, pos, avg(v) AS m FROM ex GROUP BY label, pos)
+            SELECT label,
+                   string_agg(CAST(CAST(round(m * 10000) AS BIGINT) AS VARCHAR), ',' ORDER BY pos) AS centroid_e4,
+                   count(*) AS dim
+            FROM m GROUP BY label
+        """,
         "minhash_signatures_documents": _minhash_oracle(),
         "fingerprint_documents": """
             SELECT doc_id, md5(text) AS fp_md5 FROM documents WHERE text IS NOT NULL
@@ -763,6 +845,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_near_dups": _minhash_near_dups_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
+        # nprobe == n_centroids makes IVF probe every inverted list, so the
+        # operator's output is exactly brute-force top-k — same oracle SQL
+        "ann_ivf_topk": """
+            WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT q.q_id, e.vec_id AS n_id,
+                         list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS c
+                  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+            r AS (SELECT q_id, n_id, c,
+                         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rank
+                  FROM s)
+            SELECT q_id, rank, n_id, round(c, 4) AS cos FROM r WHERE rank <= 5
+        """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
             s AS (SELECT q.q_id, e.vec_id AS n_id,

@@ -27,6 +27,19 @@ def token_count(c: Column) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(r"\S+"), 0))
 
 
+# GPT-2-style pretokenizer shape, restricted to lookahead-free RE2 syntax so
+# the exact same pattern runs in Spark (Java regex) and DuckDB (RE2): a
+# token is an optionally space-prefixed letter run, digit run, or symbol
+# run; residual whitespace runs count as one token each.
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_count_bpe(c: Column) -> Column:
+    """BPE-ish subword-boundary token count (pretokenizer granularity —
+    the unit a byte-pair tokenizer would start from)."""
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
+
+
 def word_count(c: Column, word: str) -> Column:
     return F.size(F.regexp_extract_all(F.lower(c), F.lit(rf"\b{word}\b"), 0))
 

@@ -357,3 +357,45 @@ def test_parquet_to_csv_empty_input_deletes_output(spark, tmp_path):
     spark.createDataFrame([], "id bigint, name string").write.parquet(src)
     fmt.parquet_to_csv(spark, src, out)
     assert not os.path.exists(out)
+
+
+def test_ivf_topk_exact_at_full_probe_and_prunes(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 16)).astype("float32")
+    base[1] = base[0] + 0.01 * rng.standard_normal(16).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 3)
+    exact = {(r["q_id"], r["rank"]): r["n_id"] for r in sim.cosine_topk(df, q, k=5).collect()}
+    # full probe == brute force, row for row
+    full = {
+        (r["q_id"], r["rank"]): r["n_id"]
+        for r in sim.ivf_topk(df, q, n_centroids=6, nprobe=6, k=5).collect()
+    }
+    assert full == exact
+    # low probe still finds the planted nearest neighbor with decent recall
+    approx = sim.ivf_topk(df, q, n_centroids=6, nprobe=2, k=5)
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r["q_id"], set()).add(r["n_id"])
+    ex = {}
+    for (qid, _), nid in exact.items():
+        ex.setdefault(qid, set()).add(nid)
+    recall = sum(len(ex[k_] & ap.get(k_, set())) for k_ in ex) / sum(len(v) for v in ex.values())
+    assert recall >= 0.4, recall
+    # pruning is real: candidate lists probed < all lists
+    n_cand = sim.ivf_topk(df, q, n_centroids=6, nprobe=2, k=60).count()
+    assert n_cand < 3 * 59  # fewer than all (q, n) pairs
+
+
+def test_token_count_bpe(spark):
+    df = spark.createDataFrame(
+        [("def f(x): return x1 + 2",), ("  hello",)], "text string"
+    )
+    out = [r[0] for r in df.select(tx.token_count_bpe(F.col("text")).alias("n")).collect()]
+    # 'def',' f','(','x','):',' return',' x','1',' +',' 2' = 10
+    assert out[0] == 10
+    # '  ' run + 'hello' = 2 (lookahead-free variant counts the space run once)
+    assert out[1] == 2
