@@ -148,3 +148,56 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     q2.awaitTermination(120)
     second = {r["user_id"]: (r["n_events"], r["total_value"]) for r in latest_totals(spark, out).collect()}
     assert second[7] == (3, 17.5), second
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Late-data semantics: with a 1-hour watermark and append output, an
+    event arriving in a later micro-batch whose event time is far behind
+    the checkpoint-persisted watermark is dropped — the already-finalized
+    window is emitted exactly once, with the on-time count only."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 0, 30)
+    src = str(tmp_path / "ev_stream")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    ddl = "event_id long, ts timestamp, event_type string, value double"
+    schema_df = spark.createDataFrame(
+        [(1, base, "click", 1.0), (2, base + datetime.timedelta(hours=10), "click", 1.0)],
+        ddl,
+    )
+    # batch 1: events at 00:30 and 10:30 -> watermark persists at 09:30,
+    # window [00:00,01:00) finalizes with n=1
+    schema_df.coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema_df.schema)
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(path=out, format="parquet")
+        )
+        q.awaitTermination()
+
+    drain()
+    # batch 2 (resumed from the checkpoint): a LATE event back at 00:45,
+    # far behind the restored 09:30 watermark -> dropped
+    spark.createDataFrame(
+        [(3, base + datetime.timedelta(minutes=15), "click", 1.0)], ddl
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    rows = [(r["w"]["start"].hour, r["n"]) for r in spark.read.parquet(out).collect()]
+    # exactly one finalized emission of the 00:00 window, counting only the
+    # on-time event; the late event neither reopened nor re-emitted it
+    assert rows == [(0, 1)], rows
