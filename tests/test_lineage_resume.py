@@ -79,3 +79,28 @@ def test_salting_caps_group_bytes(spark, corpus):
     )
     n_giant_groups = salted.filter(F.col("repo") == giant).select("_gk").distinct().count()
     assert n_giant_groups > 2
+
+
+def test_verify_ignores_orphan_chunks(spark, corpus, tmp_path_factory):
+    """ADVICE r1: a crashed run can leave orphan chunk files (written before
+    the lineage commit). EncodeJob.chunks() must make them invisible so
+    verification over committed chunks stays bit-identical — reading the
+    raw chunks directory instead would decode duplicates and fail."""
+    out = str(tmp_path_factory.mktemp("orphan_job"))
+    job = EncodeJob(spark, out, snapshot_id="snapX", chunk_rows=1024, chunk_bytes=1 << 20)
+    job.run(corpus)
+
+    # simulate the crash artifact: copy one committed run's chunk rows into
+    # an uncommitted run directory (no lineage row for run 'deadbeef')
+    some = spark.read.parquet(f"{out}/chunks").limit(3)
+    some.drop("run").write.mode("overwrite").parquet(f"{out}/chunks/run=deadbeef")
+
+    raw = spark.read.parquet(f"{out}/chunks")
+    committed = job.chunks()
+    assert raw.count() == committed.count() + 3  # orphans visible raw only
+    dec = decode_table(committed, CORPUS_DDL)
+    assert multiset_diff(corpus, dec).count() == 0  # still bit-identical
+    # decoding the RAW directory would contain duplicates (the failure the
+    # lineage join prevents)
+    dec_raw = decode_table(raw.drop("run"), CORPUS_DDL)
+    assert multiset_diff(corpus, dec_raw).count() > 0
