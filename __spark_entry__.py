@@ -456,6 +456,23 @@ def q_multimodal_bytes(spark, sf_dir):
     return mm.media_metadata(mm.attach_binary(d, "text", "doc_id"))
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing over the deterministic fake demuxer: each
+    payload fans out to fixed-stride byte-window 'frames' (the 1→many
+    mapInPandas shape a real keyframe sampler has); frames are compared by
+    sha256 (document text is ASCII, so byte windows == char windows in the
+    SQL oracle)."""
+    d = _T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    fr = mm.sample_frames(
+        mm.attach_binary(d, "text", "doc_id"), every_bytes=1024, frame_bytes=256, fake=True
+    )
+    return fr.select(
+        "media_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.sha2("frame", 256).alias("frame_sha"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_documents": q_roundtrip_documents,
@@ -501,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "json_extract_events": q_json_extract_events,
         "multimodal_bytes": q_multimodal_bytes,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -911,6 +929,16 @@ def oracle_sql() -> dict[str, str]:
         "json_extract_events": """
             SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n
             FROM events GROUP BY 1
+        """,
+        "multimodal_frames": """
+            WITH b AS (SELECT doc_id AS media_id, text FROM documents WHERE text IS NOT NULL),
+            off AS (SELECT media_id, text,
+                           unnest(range(0, greatest(length(text), 1), 1024)) AS o
+                    FROM b)
+            SELECT media_id,
+                   CAST(o // 1024 AS BIGINT) AS frame_no,
+                   sha256(substring(text, CAST(o + 1 AS BIGINT), 256)) AS frame_sha
+            FROM off
         """,
         "multimodal_bytes": """
             SELECT doc_id AS media_id,

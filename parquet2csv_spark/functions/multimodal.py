@@ -82,3 +82,77 @@ def decode_media(df: DataFrame, payload_col: str = "payload", *, fake: bool = Fa
         return payloads.map(one)
 
     return df.withColumn("features", feat(F.col(payload_col)))
+
+
+RESIZED_DDL = "media_id bigint, width int, height int, pixels binary"
+
+
+def resize_images(
+    df: DataFrame, width: int = 32, height: int = 32,
+    payload_col: str = "payload", *, fake: bool = False,
+) -> DataFrame:
+    """Image resize stage over ``mapInPandas`` — the Arrow-batched shape a
+    real PIL/opencv resize would use (one batch in, one batch out, binary
+    pixel buffers of exactly width×height bytes). Real decoding is STUBBED
+    (no image libraries in this container): ``fake=True`` produces a
+    deterministic nearest-neighbor 'resample' of the raw payload bytes."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL/opencv, not present in this container; "
+            "pass fake=True for the deterministic stand-in"
+        )
+    n_px = width * height
+
+    def run(batches):
+        for pdf in batches:
+            ids, ws, hs, px = [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf[payload_col]):
+                ids.append(mid)
+                ws.append(width)
+                hs.append(height)
+                if b is None:
+                    px.append(None)
+                    continue
+                src = np.frombuffer(b, dtype=np.uint8)
+                if len(src) == 0:
+                    px.append(b"\x00" * n_px)
+                    continue
+                idx = (np.arange(n_px) * len(src) // n_px).astype(np.int64)
+                px.append(src[idx].tobytes())
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "pixels": px}
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(run, RESIZED_DDL)
+
+
+FRAMES_DDL = "media_id bigint, frame_no int, frame binary"
+
+
+def sample_frames(
+    df: DataFrame, every_bytes: int = 1024, frame_bytes: int = 256,
+    payload_col: str = "payload", *, fake: bool = False,
+) -> DataFrame:
+    """Video frame-sampling stage: one input row fans out to N frame rows
+    (the 1→many batch shape a real ffmpeg keyframe sampler has), via
+    ``mapInPandas``. Real demuxing is STUBBED; ``fake=True`` samples a
+    fixed-size byte window every ``every_bytes`` as the stand-in frame."""
+    if not fake:
+        raise NotImplementedError(
+            "frame sampling requires ffmpeg bindings, not present in this "
+            "container; pass fake=True for the deterministic stand-in"
+        )
+
+    def run(batches):
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf[payload_col]):
+                if b is None:
+                    continue
+                for i, off in enumerate(range(0, max(1, len(b)), every_bytes)):
+                    ids.append(mid)
+                    nos.append(i)
+                    frames.append(bytes(b[off : off + frame_bytes]))
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
+
+    return df.select("media_id", payload_col).mapInPandas(run, FRAMES_DDL)

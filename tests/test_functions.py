@@ -399,3 +399,25 @@ def test_token_count_bpe(spark):
     assert out[0] == 10
     # '  ' run + 'hello' = 2 (lookahead-free variant counts the space run once)
     assert out[1] == 2
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 5000), (2, "y" * 100), (3, None)], "doc_id long, text string"
+    )
+    b = mm.attach_binary(df, "text", "doc_id")
+    with pytest.raises(NotImplementedError):
+        mm.resize_images(b)
+    rs = {r["media_id"]: r for r in mm.resize_images(b, 8, 8, fake=True).collect()}
+    assert len(rs[1]["pixels"]) == 64 and rs[1]["width"] == 8
+    assert rs[3]["pixels"] is None
+    with pytest.raises(NotImplementedError):
+        mm.sample_frames(b)
+    fr = mm.sample_frames(b, every_bytes=1024, frame_bytes=256, fake=True).collect()
+    by_id = {}
+    for r in fr:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 5          # 5000 bytes / 1024 → 5 frames
+    assert len(by_id[1][0]["frame"]) == 256
+    assert len(by_id[2]) == 1 and len(by_id[2][0]["frame"]) == 100
+    assert 3 not in by_id              # null payload fans out to nothing
