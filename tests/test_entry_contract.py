@@ -30,5 +30,12 @@ def test_queries_and_oracles_align():
         "roundtrip_documents", "roundtrip_lineitem", "roundtrip_events",
         "encode_verify_documents", "agg_pricing_summary", "dedup_exact_documents",
         "ann_cosine_topk", "simhash_documents",
+        # round 2: array-column queries are canonicalizer-safe and the whole
+        # LSH/IVF/minhash pipelines are SQL-replicated
+        "roundtrip_embeddings", "minhash_signatures_documents",
+        "minhash_near_dups", "ann_lsh_topk", "ann_ivf_topk",
+        "embedding_near_dups", "embedding_centroids", "exact_stats_events",
+        "csv_format_uuid_decimal", "token_count_bpe_documents",
+        "multimodal_frames",
     ]:
         assert must in oracles, must
