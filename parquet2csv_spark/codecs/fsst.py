@@ -151,10 +151,11 @@ def _compress_tile(arr: np.ndarray, levels: list[list[tuple[int, int, int]]]) ->
         tail = me[1 : len(mo) + 1]
         no_right[: len(tail)] = ~tail
         keep[1::2] = mo & no_left & no_right
+        ki = np.flatnonzero(keep)  # sparse positions: O(k) writes, not O(n)
         out = arr.copy()
-        out[:-1][keep] = m[keep]  # sparse fancy write beats a full where-pass
+        out[ki] = m[ki]
         delete = np.zeros(n, dtype=bool)
-        delete[1:] = keep         # a kept match at i absorbs byte i+1
+        delete[ki + 1] = True      # a kept match at i absorbs byte i+1
         arr = out[~delete]
     return arr
 
@@ -198,9 +199,11 @@ def _expand_tile(arr: np.ndarray, rev_levels: list[list[tuple[int, int, int]]]) 
         reps = mask.astype(np.int64) + 1
         starts = np.cumsum(reps) - reps
         out = np.empty(int(starts[-1]) + int(reps[-1]), dtype=np.uint8)
-        out[starts] = np.where(mask, left_lut[arr], arr)
+        out[starts] = arr          # bulk copy, then sparse O(k) fix-ups
         mi = np.flatnonzero(mask)
-        out[starts[mi] + 1] = right_lut[arr[mi]]
+        am = arr[mi]
+        out[starts[mi]] = left_lut[am]
+        out[starts[mi] + 1] = right_lut[am]
         arr = out
     return arr
 
