@@ -208,6 +208,26 @@ def q_agg_pricing_summary(spark, sf_dir):
     )
 
 
+def q_join_revenue_by_nation(spark, sf_dir):
+    """Fact-to-dim star join with EXPLICIT broadcasts of both small dims
+    (customer and nation are orders' dimensions here) — the plan a
+    1000-executor cluster wants: the fact table never shuffles, each
+    executor hash-joins against the broadcast dims, and only the tiny
+    per-nation aggregate shuffles."""
+    o = _T(spark, sf_dir, "orders")
+    c = _T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _T(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
 def q_window_topk_orders(spark, sf_dir):
     o = _T(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -490,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_format_uuid_decimal": q_csv_format_uuid_decimal,
         "agg_pricing_summary": q_agg_pricing_summary,
         "window_topk_orders": q_window_topk_orders,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
         "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
         "selector_stats_documents": q_selector_stats_documents,
         "cube_pricing": q_cube_pricing,
@@ -740,6 +761,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_revenue_by_nation": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n_name
         """,
         "window_topk_orders": """
             SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS price FROM (

@@ -421,3 +421,17 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert len(by_id[1][0]["frame"]) == 256
     assert len(by_id[2]) == 1 and len(by_id[2][0]["frame"]) == 100
     assert 3 not in by_id              # null payload fans out to nothing
+
+
+def test_lsh_sig_handles_null_embeddings(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(6)]
+    rows.insert(2, (99, None))  # null embedding mid-batch
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.lsh_topk(df, df.filter(F.col("vec_id") == 0), k=3, bits=12, bands=12).collect()
+    ids = {r["n_id"] for r in out}
+    assert 99 not in ids and len(out) > 0  # null row neither crashes nor matches
+    nd = sim.embedding_near_dups(df, 0.99)
+    assert all(99 not in (r["id_a"], r["id_b"]) for r in nd.collect())

@@ -75,3 +75,17 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     assert joined.count() == 10000
     spark.sql(f"DROP TABLE {a}")
     spark.sql(f"DROP TABLE {b}")
+
+
+def test_star_join_broadcasts_dims(spark):
+    """join_revenue_by_nation: both dims broadcast — the fact table reaches
+    the aggregation without a join shuffle (only the tiny per-nation agg
+    exchanges)."""
+    import re
+
+    import __spark_entry__ as entry
+
+    df = entry.q_join_revenue_by_nation(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
