@@ -253,6 +253,15 @@ def q_cube_pricing(spark, sf_dir):
     )
 
 
+def q_rollup_pricing(spark, sf_dir):
+    li = _T(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+             F.count("*").alias("n"))
+    )
+
+
 def q_sample_documents_systematic(spark, sf_dir):
     d = _T(spark, sf_dir, "documents")
     return d.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0).select("doc_id", "lang", "n_chars")
@@ -514,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
         "selector_stats_documents": q_selector_stats_documents,
         "cube_pricing": q_cube_pricing,
+        "rollup_pricing": q_rollup_pricing,
         "pivot_pricing": q_pivot_pricing,
         "unpivot_region": q_unpivot_region,
         "sample_documents_systematic": q_sample_documents_systematic,
@@ -788,6 +798,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "unpivot_region": """
             SELECT r_regionkey, 'r_name' AS attr, r_name AS val FROM region
+        """,
+        "rollup_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "cube_pricing": """
             SELECT l_returnflag, l_linestatus,
