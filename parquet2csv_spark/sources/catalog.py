@@ -24,42 +24,72 @@ class Snapshot:
     snapshot_id: str
     n_files: int
     total_bytes: int
+    # manifest: relpath -> (size, mtime). Reading a snapshot reads EXACTLY
+    # these files (Iceberg snapshot-isolation semantics over an append-only
+    # directory), so an OLD snapshot stays readable after new files land.
+    files: dict[str, tuple[int, int]] | None = None
 
 
-def _manifest(path: str) -> tuple[str, int, int]:
-    entries = []
+def _manifest(path: str) -> tuple[str, int, int, dict[str, tuple[int, int]]]:
+    files: dict[str, tuple[int, int]] = {}
     total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in sorted(files):
+    for root, _dirs, names in os.walk(path):
+        for f in sorted(names):
             if f.startswith(("_", ".")):
                 continue
             fp = os.path.join(root, f)
             st = os.stat(fp)
-            entries.append(f"{os.path.relpath(fp, path)}:{st.st_size}:{int(st.st_mtime)}")
+            files[os.path.relpath(fp, path)] = (st.st_size, int(st.st_mtime))
             total += st.st_size
-    digest = hashlib.sha256("\n".join(entries).encode()).hexdigest()[:16]
-    return digest, len(entries), total
+    digest = hashlib.sha256(
+        "\n".join(f"{k}:{v[0]}:{v[1]}" for k, v in files.items()).encode()
+    ).hexdigest()[:16]
+    return digest, len(files), total, files
 
 
 class ParquetDirCatalog:
-    """Directory-of-parquet catalog with manifest-hash snapshot ids."""
+    """Directory-of-parquet catalog with manifest-hash snapshot ids and
+    Iceberg-style snapshot isolation: a snapshot pins the exact file list,
+    so appended files don't change what an old snapshot reads, while
+    mutation or deletion of a pinned file fails loudly."""
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
 
     def snapshot(self, table_path: str) -> Snapshot:
-        digest, n, total = _manifest(table_path)
-        return Snapshot(table_path, digest, n, total)
+        digest, n, total, files = _manifest(table_path)
+        return Snapshot(table_path, digest, n, total, files)
 
     def read(self, snap: Snapshot, verify: bool = True) -> DataFrame:
-        if verify:
-            digest, _, _ = _manifest(snap.table_path)
-            if digest != snap.snapshot_id:
+        if snap.files is None:  # legacy snapshot without a manifest
+            digest, _, _, _ = _manifest(snap.table_path)
+            if verify and digest != snap.snapshot_id:
                 raise RuntimeError(
                     f"snapshot {snap.snapshot_id} no longer matches {snap.table_path} "
                     f"(now {digest}) — input mutated since the job was planned"
                 )
-        return self.spark.read.parquet(snap.table_path)
+            return self.spark.read.parquet(snap.table_path)
+        if verify:
+            for rel, (size, mtime) in snap.files.items():
+                fp = os.path.join(snap.table_path, rel)
+                try:
+                    st = os.stat(fp)
+                except FileNotFoundError:
+                    raise RuntimeError(
+                        f"snapshot {snap.snapshot_id}: pinned file {rel} was deleted"
+                    ) from None
+                if st.st_size != size or int(st.st_mtime) != mtime:
+                    raise RuntimeError(
+                        f"snapshot {snap.snapshot_id}: pinned file {rel} was mutated"
+                    )
+        data = [
+            os.path.join(snap.table_path, rel)
+            for rel in snap.files
+            if rel.endswith(".parquet")
+        ]
+        return (
+            self.spark.read.option("basePath", snap.table_path).parquet(*data)
+        )
 
 
 class IcebergCatalog:

@@ -29,10 +29,12 @@ def test_catalog_snapshot_pinning(spark, tmp_path):
     assert isinstance(cat, ParquetDirCatalog)  # no Iceberg jar in sandbox
     snap = cat.snapshot(p)
     assert cat.read(snap).count() == 10
-    # mutate the table → pinned read must fail loudly
+    # overwrite the table → pinned read must fail loudly (the pinned
+    # files are gone; an APPEND would have kept the old snapshot readable —
+    # see test_snapshot_time_travel_after_append)
     time.sleep(1.1)  # mtime resolution
     spark.range(5).write.mode("overwrite").parquet(p)
-    with pytest.raises(RuntimeError, match="mutated"):
+    with pytest.raises(RuntimeError, match="mutated|deleted"):
         cat.read(snap)
 
 
@@ -201,3 +203,26 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     # exactly one finalized emission of the 00:00 window, counting only the
     # on-time event; the late event neither reopened nor re-emitted it
     assert rows == [(0, 1)], rows
+
+
+def test_snapshot_time_travel_after_append(spark, tmp_path):
+    """Iceberg-style snapshot isolation over an append-only directory: an
+    OLD snapshot keeps reading exactly its pinned files after new files
+    land; mutation of a pinned file still fails loudly."""
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").coalesce(1) \
+        .write.mode("append").parquet(p)
+    cat = ParquetDirCatalog(spark)
+    snap1 = cat.snapshot(p)
+    spark.createDataFrame([(3, "c")], "id long, v string").coalesce(1) \
+        .write.mode("append").parquet(p)
+    snap2 = cat.snapshot(p)
+    assert snap1.snapshot_id != snap2.snapshot_id
+    assert cat.read(snap1).count() == 2   # time travel: appended file invisible
+    assert cat.read(snap2).count() == 3
+    # mutating a pinned file breaks the old snapshot loudly
+    victim = next(f for f in snap1.files if f.endswith(".parquet"))
+    full = os.path.join(p, victim)
+    os.utime(full, (0, 0))
+    with pytest.raises(RuntimeError, match="mutated"):
+        cat.read(snap1)
