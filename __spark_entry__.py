@@ -333,6 +333,24 @@ def q_fingerprint_documents(spark, sf_dir):
     )
 
 
+def q_winnow_documents(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003) as a
+    gate-checked query: the uint64-wraparound rolling hash is replicated in
+    DuckDB with HUGEINT arithmetic, window-min over W=16 positions, and a
+    sorted-distinct projection (document text is ASCII, so ascii(char) ==
+    byte and character positions == byte positions)."""
+    d = _T(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= 8)
+    )
+    fp = tx.fingerprint_winnow(d, ["doc_id"])
+    return fp.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.array_sort(F.transform("fp_winnow", lambda v: v.cast("string")))
+        ).alias("fp_csv"),
+    )
+
+
 def q_simhash_documents(spark, sf_dir):
     return X.simhash(_T(spark, sf_dir, "documents"), "doc_id")
 
@@ -533,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores_documents": q_quality_scores_documents,
         "langid_documents": q_langid_documents,
         "fingerprint_documents": q_fingerprint_documents,
+        "winnow_fingerprints_documents": q_winnow_documents,
         "simhash_documents": q_simhash_documents,
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
         "minhash_signatures_documents": q_minhash_signatures,
@@ -874,6 +893,21 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY label
         """,
         "minhash_signatures_documents": _minhash_oracle(),
+        "winnow_fingerprints_documents": """
+            WITH b AS (SELECT doc_id, text, length(text) - 7 AS L
+                       FROM documents WHERE text IS NOT NULL AND length(text) >= 8),
+            pos AS (SELECT doc_id, text, L, unnest(range(1, L + 1)) AS i FROM b),
+            h AS (SELECT doc_id, L, i,
+                         CAST(((CAST(ascii(substring(text, CAST(i + 0 AS BIGINT), 1)) AS HUGEINT) * 74051159531521793::HUGEINT + CAST(ascii(substring(text, CAST(i + 1 AS BIGINT), 1)) AS HUGEINT) * 288136807515649::HUGEINT + CAST(ascii(substring(text, CAST(i + 2 AS BIGINT), 1)) AS HUGEINT) * 1121154893057::HUGEINT + CAST(ascii(substring(text, CAST(i + 3 AS BIGINT), 1)) AS HUGEINT) * 4362470401::HUGEINT + CAST(ascii(substring(text, CAST(i + 4 AS BIGINT), 1)) AS HUGEINT) * 16974593::HUGEINT + CAST(ascii(substring(text, CAST(i + 5 AS BIGINT), 1)) AS HUGEINT) * 66049::HUGEINT + CAST(ascii(substring(text, CAST(i + 6 AS BIGINT), 1)) AS HUGEINT) * 257::HUGEINT + CAST(ascii(substring(text, CAST(i + 7 AS BIGINT), 1)) AS HUGEINT) * 1::HUGEINT) % 18446744073709551616::HUGEINT) % 9223372036854775808::HUGEINT AS BIGINT) AS hm
+                  FROM pos),
+            mins AS (SELECT doc_id, L, i,
+                            min(hm) OVER (PARTITION BY doc_id ORDER BY i
+                                          ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
+                     FROM h)
+            SELECT doc_id,
+                   string_agg(DISTINCT CAST(m AS VARCHAR), ',' ORDER BY CAST(m AS VARCHAR)) AS fp_csv
+            FROM mins WHERE i <= greatest(L - 15, 1) GROUP BY doc_id
+        """,
         "fingerprint_documents": """
             SELECT doc_id, md5(text) AS fp_md5 FROM documents WHERE text IS NOT NULL
         """,
