@@ -4,9 +4,14 @@
                  sf0.001, returning per-lang bit-identity counts.
 ``queries``    — one entry per implemented operator (SURVEY.md §2.2 plus
                  the training-data ops); each takes (spark, sf_dir).
-``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents. Omitted only for
-                 genuinely non-SQL-expressible ops (engine-internal metrics,
-                 approximate LSH) — the driver records a rows-only check.
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents (43 of 47 queries,
+                 including the full MinHash/LSH/IVF/winnowing pipelines via
+                 portable hashing). Omitted only for genuinely
+                 non-SQL-expressible ops — engine-internal byte metrics,
+                 the corpus-generator summary, binary-exact float text
+                 (needs ~52 significant digits; DuckDB decimals stop at 38)
+                 and approximate sketches — where the driver records a
+                 rows-only check.
 """
 
 from __future__ import annotations
