@@ -170,33 +170,38 @@ def train_centroids(
     return cents
 
 
-def ivf_topk(
+def _centroid_scores(cents: "np.ndarray", vc) -> "F.Column":
+    """dot(v, c_j) for each centroid as plan-literal JVM expressions
+    (whole-stage codegen, no Python in the assignment path)."""
+    return F.array(*[
+        F.aggregate(
+            F.zip_with(
+                vc,
+                F.array(*[F.lit(float(c)) for c in cents[j]]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for j in range(len(cents))
+    ])
+
+
+def ivf_build(
     vectors: DataFrame,
-    queries: DataFrame,
     n_centroids: int = 16,
-    nprobe: int = 4,
-    k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_limit: int = 4096,
     seed: int = 42,
-    round_digits: int = 4,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k cosine search — the coarse-
-    quantizer scale path next to lsh_topk:
-
-      1. train: k-means centroids on a deterministic driver-side sample;
-      2. assign: every vector goes to its max-dot-product centroid — pure
-         JVM expressions over the (small, plan-literal) centroid matrix,
-         whole-stage codegen, no Python;
-      3. probe: each query searches only its ``nprobe`` nearest centroids'
-         inverted lists (an equi-join on centroid id — never all-pairs);
-      4. exact cosine re-rank of the candidates.
-
-    With ``nprobe == n_centroids`` every list is probed, so the result is
-    exactly the brute-force top-k (how the DuckDB oracle checks this
-    operator end-to-end); pruning behavior is pytest-checked at low nprobe.
-    """
+) -> "tuple[DataFrame, np.ndarray]":
+    """Build an IVF index ONCE: train centroids on a deterministic
+    driver-side sample, then assign every vector to its max-dot-product
+    centroid. Returns ``(index_df, centroids)`` where ``index_df`` is the
+    inverted-list table ``(n_id, n_vec, _list)`` — at corpus scale this is
+    what you persist (``.write.partitionBy("_list")`` or bucketed), so the
+    expensive assignment pass runs once and every search after it touches
+    only the probed lists' files (partition pruning on ``_list``)."""
     sample_df = (
         vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy("_id")
@@ -204,30 +209,30 @@ def ivf_topk(
     )
     sample = np.array([r["_v"] for r in sample_df.collect()], dtype=np.float64)
     cents = train_centroids(sample, n_centroids, seed=seed)
-
-    def _assign_scores(vc):
-        # dot(v, c_j) for each centroid as plan literals (codegen'd)
-        return F.array(*[
-            F.aggregate(
-                F.zip_with(
-                    vc,
-                    F.array(*[F.lit(float(c)) for c in cents[j]]),
-                    lambda a, b: a.cast("double") * b,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for j in range(len(cents))
-        ])
-
-    scores = _assign_scores(F.col(vec_col))
-    v = vectors.select(
+    scores = _centroid_scores(cents, F.col(vec_col))
+    index_df = vectors.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
         # argmax via array_position on the max (ties -> first, deterministic)
         (F.array_position(scores, F.array_max(scores)) - 1).cast("int").alias("_list"),
     )
-    # query side: nprobe best centroid ids, exploded
+    return index_df, cents
+
+
+def ivf_search(
+    index_df: DataFrame,
+    cents: "np.ndarray",
+    queries: DataFrame,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Search a built IVF index: each query probes only its ``nprobe``
+    nearest centroids' inverted lists (an equi-join on ``_list`` — never
+    all-pairs), then candidates are exactly re-ranked by cosine."""
+    scores = _centroid_scores(cents, F.col(vec_col))
     qs = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
         scores.alias("_scores"),
@@ -243,7 +248,7 @@ def ivf_topk(
     )
     q = qs.select("q_id", "q_vec", F.explode(probe_idx).alias("_list"))
     cands = (
-        v.join(q, "_list")
+        index_df.join(q, "_list")
         .filter(F.col("n_id") != F.col("q_id"))
         .select("q_id", "q_vec", "n_id", "n_vec")
         .dropDuplicates(["q_id", "n_id"])
@@ -256,6 +261,31 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "n_id", F.round("_cos", round_digits).alias("cos"))
     )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_limit: int = 4096,
+    seed: int = 42,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search — the coarse-
+    quantizer scale path next to lsh_topk: :func:`ivf_build` then
+    :func:`ivf_search` in one shot (at corpus scale persist the build's
+    inverted lists instead of rebuilding per query batch).
+
+    With ``nprobe == n_centroids`` every list is probed, so the result is
+    exactly the brute-force top-k (how the DuckDB oracle checks this
+    operator end-to-end); pruning behavior is pytest-checked at low nprobe.
+    """
+    index_df, cents = ivf_build(vectors, n_centroids, id_col, vec_col, train_limit, seed)
+    return ivf_search(index_df, cents, queries, nprobe, k, id_col, vec_col, round_digits)
 
 
 def _band_plan(threshold: float, target_miss: float = 1e-9) -> tuple[int, int]:

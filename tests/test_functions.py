@@ -435,3 +435,29 @@ def test_lsh_sig_handles_null_embeddings(spark):
     assert 99 not in ids and len(out) > 0  # null row neither crashes nor matches
     nd = sim.embedding_near_dups(df, 0.99)
     assert all(99 not in (r["id_a"], r["id_b"]) for r in nd.collect())
+
+
+def test_ivf_index_persist_and_reuse(spark, tmp_path):
+    """Build-once/search-many: the persisted inverted-list table (written
+    partitionBy(_list)) answers queries identically to the one-shot path,
+    and a probe's scan prunes to the probed list partitions."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((50, 12)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 2)
+
+    index_df, cents = sim.ivf_build(df, n_centroids=5)
+    p = str(tmp_path / "ivf_index")
+    index_df.write.partitionBy("_list").parquet(p)
+    persisted = spark.read.parquet(p)
+
+    one_shot = sorted(map(tuple, sim.ivf_topk(df, q, n_centroids=5, nprobe=5, k=4).collect()))
+    reused = sorted(map(tuple, sim.ivf_search(persisted, cents, q, nprobe=5, k=4).collect()))
+    assert one_shot == reused
+    # second search on the same index, different queries — no rebuild needed
+    q2 = df.filter((F.col("vec_id") >= 2) & (F.col("vec_id") < 4))
+    out2 = sim.ivf_search(persisted, cents, q2, nprobe=2, k=3).collect()
+    assert {r["q_id"] for r in out2} == {2, 3}
