@@ -377,6 +377,16 @@ def q_minhash_signatures(spark, sf_dir):
     )
 
 
+def q_dedup_clusters_documents(spark, sf_dir):
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    pair graph (transitive closure), cluster_id = min key (the survivor a
+    dedup pipeline keeps). Oracle: the same pair pipeline in SQL wrapped in
+    a recursive-CTE reachability closure."""
+    d = _T(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    pairs = X.minhash_near_dups(d, "doc_id", n=4, num_perm=32, bands=8, threshold=0.5)
+    return X.dup_clusters(pairs)
+
+
 def q_minhash_near_dups(spark, sf_dir):
     d = _T(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
     return X.minhash_near_dups(d, "doc_id", n=4, num_perm=32, bands=8, threshold=0.5)
@@ -561,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
         "minhash_signatures_documents": q_minhash_signatures,
         "minhash_near_dups": q_minhash_near_dups,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -944,6 +955,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
         """,
         "minhash_near_dups": _minhash_near_dups_oracle(),
+        "dedup_clusters_documents": f"""
+            WITH RECURSIVE
+            pairs AS (SELECT key_a, key_b FROM ({_minhash_near_dups_oracle()}) nd),
+            edges AS (SELECT key_a AS a, key_b AS b FROM pairs
+                      UNION SELECT key_b, key_a FROM pairs),
+            reach(src, dst) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            )
+            SELECT src AS key, min(dst) AS cluster_id FROM reach GROUP BY src
+        """,
         "ann_lsh_topk": _ann_lsh_oracle(),
         # nprobe == n_centroids makes IVF probe every inverted list, so the
         # operator's output is exactly brute-force top-k — same oracle SQL

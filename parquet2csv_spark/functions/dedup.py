@@ -196,6 +196,46 @@ def all_pairs_jaccard(
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs → (key, cluster_id),
+    cluster_id = min key in the component (the deterministic survivor a
+    dedup pipeline keeps).
+
+    Iterative hash-min label propagation (the standard Spark CC shape, cf.
+    GraphX/connected-components literature): every round each node takes
+    the min of its own and its neighbors' labels; converges in O(component
+    diameter) rounds — near-dup clusters are shallow, so a handful of
+    rounds. Each round is one equi-join + groupBy; the driver-side loop
+    only checks a converged count (no data is collected)."""
+    e = pairs.select(F.col("key_a").alias("a"), F.col("key_b").alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().cache()
+    labels = edges.select(F.col("a").alias("key")).distinct().withColumn("label", F.col("key"))
+    for _ in range(max_iter):
+        nb = (
+            edges.join(labels, edges.b == labels.key)
+            .groupBy("a")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb, labels.key == nb.a, "left")
+            .select(
+                labels["key"],
+                F.least(labels["label"], F.coalesce(nb["nb_min"], labels["label"])).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.key") == F.col("o.key"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("key", F.col("label").alias("cluster_id"))
+
+
 SIMHASH_BITS = 60  # bits 0..59 only, so the assembled value stays a
                    # non-negative signed int64 (bit 63 would flip the sign)
 

@@ -461,3 +461,15 @@ def test_ivf_index_persist_and_reuse(spark, tmp_path):
     q2 = df.filter((F.col("vec_id") >= 2) & (F.col("vec_id") < 4))
     out2 = sim.ivf_search(persisted, cents, q2, nprobe=2, k=3).collect()
     assert {r["q_id"] for r in out2} == {2, 3}
+
+
+def test_dup_clusters_transitive(spark):
+    """A-B and B-C near-dup pairs must land in ONE cluster with the min key
+    as survivor, even though A-C was never a direct pair."""
+    from parquet2csv_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], "key_a long, key_b long"
+    )
+    out = {r["key"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert out == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
