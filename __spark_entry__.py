@@ -314,6 +314,27 @@ def q_token_count_documents(spark, sf_dir):
     return d.select("doc_id", tx.token_count(F.col("text")).cast("long").alias("n_tokens"))
 
 
+def q_curate_training_documents(spark, sf_dir):
+    """The end-to-end training-data curation pipeline in one query:
+    quality-score every document, drop exact duplicates (keep the min-id
+    survivor per content hash), keep documents above a quality floor, and
+    emit the curated set with its token counts — the composition a 100-TB
+    pretraining pipeline runs nightly. Every stage is one of this repo's
+    proven operators; the oracle composes their proven SQL forms."""
+    d = _T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    q = tx.quality_features(d)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    survivors = q.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    return (
+        survivors.filter(F.col("q_score") >= 0.3)
+        .select(
+            "doc_id",
+            tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+            "q_score",
+        )
+    )
+
+
 def q_token_count_bpe_documents(spark, sf_dir):
     d = _T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return d.select("doc_id", tx.token_count_bpe(F.col("text")).cast("long").alias("n_bpe_tokens"))
@@ -563,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "token_count_documents": q_token_count_documents,
         "token_count_bpe_documents": q_token_count_bpe_documents,
+        "curate_training_documents": q_curate_training_documents,
         "quality_scores_documents": q_quality_scores_documents,
         "langid_documents": q_langid_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -883,6 +905,25 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "langid_documents": _langid_oracle(),
+        "curate_training_documents": r"""
+            WITH f AS (
+              SELECT doc_id, text,
+                     length(text) AS n_chars,
+                     length(regexp_extract_all(text, '\S+')) AS n_tok,
+                     length(regexp_extract_all(text, '[\.,;:!\?]')) AS n_punct,
+                     length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS n_stop,
+                     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+              FROM documents WHERE text IS NOT NULL),
+            scored AS (
+              SELECT doc_id, n_tok,
+                     round(least(n_tok / 100.0, 1.0) * 0.4
+                           + least((n_stop / greatest(n_tok, 1)) * 4.0, 1.0) * 0.3
+                           + (1.0 - least((n_punct / greatest(n_chars, 1)) * 5.0, 1.0)) * 0.3,
+                           4) AS q_score
+              FROM f WHERE rk = 1)
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, q_score
+            FROM scored WHERE q_score >= 0.3
+        """,
         "token_count_bpe_documents": r"""
             SELECT doc_id,
                    CAST(length(regexp_extract_all(text,
