@@ -181,8 +181,21 @@ def q_csv_format_uuid_decimal(spark, sf_dir):
         "-", F.substring(h, 1, 3), F.substring(h, 9, 2), F.substring(h, 13, 1),
         F.substring(h, 17, 4), F.substring(h, 21, 5),
     )
+    # over-long first group (9 hex digits): folds through the <<16 shifts
+    # exactly like Java UUID.fromString composes it
+    overlong = F.concat_ws(
+        "-", F.substring(h, 1, 9), F.substring(h, 9, 4), F.substring(h, 13, 4),
+        F.substring(h, 17, 4), F.substring(h, 21, 12),
+    )
+    # 16 hex digits starting 'f' > Long.MAX → Long.decode throws → 'unknown'
+    toobig = F.concat_ws(
+        "-", F.concat(F.lit("f"), F.substring(h, 1, 15)), F.substring(h, 9, 4),
+        F.substring(h, 13, 4), F.substring(h, 17, 4), F.substring(h, 21, 12),
+    )
     raw = (
-        F.when(F.col("doc_id") % 11 == 0, F.lit("not-a-uuid"))
+        F.when(F.col("doc_id") % 13 == 0, overlong)
+        .when(F.col("doc_id") % 17 == 0, toobig)
+        .when(F.col("doc_id") % 11 == 0, F.lit("not-a-uuid"))
         .when(F.col("doc_id") % 7 == 0, short)
         .when(F.col("doc_id") % 3 == 0, F.upper(full))
         .otherwise(full)
@@ -620,6 +633,57 @@ _STOP = {
 }
 
 
+def _uuid_decimal_oracle() -> str:
+    """Mirror q_csv_format_uuid_decimal including Java UUID.fromString's
+    lenient bit-fold: per-group Long.decode (TRY_CAST, 1..16 hex digits,
+    signed-long bound), msb/lsb composed with mod-2^64 shifts (HUGEINT
+    emulation — DuckDB's << errors on overflow) and un-masked ORs, printed
+    as 8-4-4-4-12 via masked hex digits (shift flavor is irrelevant under
+    the masks)."""
+    M, H = 1 << 64, 1 << 63
+
+    def shl(x: str, mult: int) -> str:
+        v = f"((({x})::HUGEINT * {mult}::HUGEINT) % {M}::HUGEINT + {M}::HUGEINT) % {M}::HUGEINT"
+        return f"CAST(CASE WHEN {v} >= {H}::HUGEINT THEN {v} - {M}::HUGEINT ELSE {v} END AS BIGINT)"
+
+    def dig(v: str, n: int) -> str:
+        mask = (1 << (4 * n)) - 1
+        return f"lpad(printf('%x', (({v}) & {mask})), {n}, '0')"
+
+    g = [f"string_split(lower(u), '-')[{i + 1}]" for i in range(5)]
+    fits = ' AND '.join(
+        f"(length({gi}) <= 15 OR substring({gi}, 1, 1) < '8')" for gi in g
+    )
+    v = [f"TRY_CAST(('0x' || {gi}) AS BIGINT)" for gi in g]
+    msb = f"({shl(f'({shl(v[0], 65536)} | {v[1]})', 65536)} | {v[2]})"
+    lsb = f"({shl(v[3], 281474976710656)} | {v[4]})"
+    canon = (
+        f"concat_ws('-', {dig(f'({msb}) >> 32', 8)}, {dig(f'({msb}) >> 16', 4)}, "
+        f"{dig(msb, 4)}, {dig(f'({lsb}) >> 48', 4)}, {dig(lsb, 12)})"
+    )
+    shape = r"regexp_matches(u, '^[0-9a-fA-F]{1,16}(-[0-9a-fA-F]{1,16}){4}$')"
+    return f"""
+        WITH src AS (
+          SELECT doc_id, md5('u:' || CAST(doc_id AS VARCHAR)) AS h FROM documents
+        ), raw AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0 THEN concat_ws('-', h[1:9], h[9:12], h[13:16], h[17:20], h[21:32])
+                      WHEN doc_id % 17 = 0 THEN concat_ws('-', 'f' || h[1:15], h[9:12], h[13:16], h[17:20], h[21:32])
+                      WHEN doc_id % 11 = 0 THEN 'not-a-uuid'
+                      WHEN doc_id % 7 = 0 THEN concat_ws('-', h[1:3], h[9:10], h[13:13], h[17:20], h[21:25])
+                      WHEN doc_id % 3 = 0 THEN upper(concat_ws('-', h[1:8], h[9:12], h[13:16], h[17:20], h[21:32]))
+                      ELSE concat_ws('-', h[1:8], h[9:12], h[13:16], h[17:20], h[21:32])
+                 END AS u
+          FROM src
+        )
+        SELECT doc_id,
+               CASE WHEN {shape} AND {fits}
+                    THEN '''' || {canon} || ''''
+                    ELSE '''unknown''' END AS uuid_fmt,
+               CAST(CAST((doc_id - 250) * 1000000007 AS DECIMAL(30,0)) AS VARCHAR) AS dec_fmt
+        FROM raw
+    """
+
 def _minhash_oracle(num_perm: int = 16) -> str:
     """Programmatically mirror dedup.minhash_signatures: same universal-hash
     parameters, same 32-bit md5-derived shingle hash, same Mersenne prime.
@@ -786,6 +850,8 @@ def oracle_sql() -> dict[str, str]:
         "csv_format_timestamps": """
             SELECT event_id,
                    CASE WHEN ts IS NULL THEN 'null'
+                        WHEN epoch_us(ts) % 1000 <> 0
+                          THEN '''' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z'''
                         WHEN epoch_us(ts) % 1000000 <> 0
                           THEN '''' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z'''
                         WHEN epoch_us(ts) % 60000000 <> 0
@@ -793,30 +859,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '''' || strftime(ts, '%Y-%m-%dT%H:%M') || 'Z''' END AS ts_fmt
             FROM events
         """,
-        "csv_format_uuid_decimal": r"""
-            WITH src AS (
-              SELECT doc_id, md5('u:' || CAST(doc_id AS VARCHAR)) AS h FROM documents
-            ), raw AS (
-              SELECT doc_id,
-                     CASE WHEN doc_id % 11 = 0 THEN 'not-a-uuid'
-                          WHEN doc_id % 7 = 0 THEN concat_ws('-', h[1:3], h[9:10], h[13:13], h[17:20], h[21:25])
-                          WHEN doc_id % 3 = 0 THEN upper(concat_ws('-', h[1:8], h[9:12], h[13:16], h[17:20], h[21:32]))
-                          ELSE concat_ws('-', h[1:8], h[9:12], h[13:16], h[17:20], h[21:32])
-                     END AS u
-              FROM src
-            )
-            SELECT doc_id,
-                   CASE WHEN regexp_matches(u, '^[0-9a-fA-F]{1,8}-[0-9a-fA-F]{1,4}-[0-9a-fA-F]{1,4}-[0-9a-fA-F]{1,4}-[0-9a-fA-F]{1,12}$')
-                        THEN '''' || concat_ws('-',
-                               lpad(string_split(lower(u), '-')[1], 8, '0'),
-                               lpad(string_split(lower(u), '-')[2], 4, '0'),
-                               lpad(string_split(lower(u), '-')[3], 4, '0'),
-                               lpad(string_split(lower(u), '-')[4], 4, '0'),
-                               lpad(string_split(lower(u), '-')[5], 12, '0')) || ''''
-                        ELSE '''unknown''' END AS uuid_fmt,
-                   CAST(CAST((doc_id - 250) * 1000000007 AS DECIMAL(30,0)) AS VARCHAR) AS dec_fmt
-            FROM raw
-        """,
+        "csv_format_uuid_decimal": _uuid_decimal_oracle(),
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -113,6 +113,15 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.chunks, snapshot_id=snap.snapshot_id, job_id=args.job_id
         )
         chunks = job.chunks()
+        if chunks.isEmpty():
+            # fail loudly: zero committed chunks means the snapshot/job-id
+            # doesn't match the lineage (or nothing was encoded) — that is
+            # a usage error, not a data-corruption verdict
+            print(json.dumps({
+                "error": "no committed chunks for this snapshot/job-id",
+                "snapshot_id": snap.snapshot_id, "job_id": args.job_id,
+            }))
+            return 3
         dec = decode_table(chunks, src.schema)
         diff = multiset_diff(src, dec).count()
         print(json.dumps({"multiset_diff": diff, "bit_identical": diff == 0}))

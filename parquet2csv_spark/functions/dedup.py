@@ -206,10 +206,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     the min of its own and its neighbors' labels; converges in O(component
     diameter) rounds — near-dup clusters are shallow, so a handful of
     rounds. Each round is one equi-join + groupBy; the driver-side loop
-    only checks a converged count (no data is collected)."""
+    only checks a converged count (no data is collected). Raises if the
+    iteration cap is hit before convergence — a silent partial answer
+    would split true components."""
     e = pairs.select(F.col("key_a").alias("a"), F.col("key_b").alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().cache()
     labels = edges.select(F.col("a").alias("key")).distinct().withColumn("label", F.col("key"))
+    converged = False
+    prev = None
     for _ in range(max_iter):
         nb = (
             edges.join(labels, edges.b == labels.key)
@@ -230,9 +234,19 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        if prev is not None:
+            prev.unpersist()
+        prev = new_labels
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds — a "
+            f"component has diameter > {max_iter}; raise max_iter"
+        )
     return labels.select("key", F.col("label").alias("cluster_id"))
 
 

@@ -31,10 +31,12 @@ SENTINEL_1900_01_02_MS = -2208902400000
 SENTINEL_1900_01_01 = "1900-01-01T00:00:00.000-00:00"
 SENTINEL_1900_01_02 = "1900-01-02T00:00:00.000-00:00"
 
-# Java UUID.fromString (ParquetToCsv.java:240) accepts non-canonical short
-# hex groups ('1-2-3-4-5') and uppercase, normalizing them in toString —
-# hence {1,n} group lengths here plus zero-padding in fmt_uuid
-_UUID_RE = "^[0-9a-fA-F]{1,8}-[0-9a-fA-F]{1,4}-[0-9a-fA-F]{1,4}-[0-9a-fA-F]{1,4}-[0-9a-fA-F]{1,12}$"
+# Java 8 UUID.fromString (ParquetToCsv.java:240) is lenient: it splits on
+# '-' into exactly 5 groups and Long.decode()s each — groups may be ANY
+# 1..16 hex digits whose value fits a signed long; over-long values are
+# folded by the <<16/<<48 shifts and un-masked |= ORs, and toString prints
+# the normalized 8-4-4-4-12 form. fmt_uuid reproduces that bit arithmetic.
+_UUID_RE = "^[0-9a-fA-F]{1,16}(-[0-9a-fA-F]{1,16}){4}$"
 NULL_TEXT = "null"
 
 
@@ -85,9 +87,14 @@ def fmt_timestamp_iso(c: Column, quote_it: bool = True) -> Column:
     t = c.cast("timestamp")
     us = F.unix_micros(t)
     ms = (us / 1000).cast("long")
-    # pmod → non-negative remainders, so pre-1970 epochs classify correctly
+    # pmod → non-negative remainders, so pre-1970 epochs classify correctly.
+    # Fractions print like LocalTime.toString: 6 digits when sub-millisecond
+    # micros are present, 3 when only millis, none on whole seconds — so a
+    # trailing '.000' (which OffsetDateTime.toString never emits) can't
+    # appear for micro-precision inputs either
     iso = (
-        F.when(F.pmod(us, F.lit(1_000_000)) != 0, F.date_format(t, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
+        F.when(F.pmod(us, F.lit(1_000)) != 0, F.date_format(t, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
+        .when(F.pmod(us, F.lit(1_000_000)) != 0, F.date_format(t, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
         .when(F.pmod(us, F.lit(60_000_000)) != 0, F.date_format(t, "yyyy-MM-dd'T'HH:mm:ssXXX"))
         .otherwise(F.date_format(t, "yyyy-MM-dd'T'HH:mmXXX"))
     )
@@ -99,23 +106,49 @@ def fmt_timestamp_iso(c: Column, quote_it: bool = True) -> Column:
     return fmt_null(quote(body) if quote_it else body)
 
 
-def fmt_uuid(c: Column) -> Column:
-    """F5: canonical lowercase uuid or the literal ``unknown``, quoted.
+def _hex_digits(v: Column, n: int) -> Column:
+    """Java UUID.digits(val, n): low 4n bits as an n-char lowercase hex
+    string (zero-padded)."""
+    mask = (1 << (4 * n)) - 1
+    return F.lpad(F.lower(F.hex(v.bitwiseAND(F.lit(mask)))), n, "0")
 
-    Reproduces Java UUID.fromString → toString normalization
-    (ParquetToCsv.java:237-246): short hex groups are zero-padded to
-    8-4-4-4-12 and the result is lowercased; anything the relaxed pattern
-    rejects renders as 'unknown'."""
-    ok = c.rlike(_UUID_RE)
+
+def fmt_uuid(c: Column) -> Column:
+    """F5: normalized lowercase uuid or the literal ``unknown``, quoted.
+
+    Bit-exact Java 8 UUID.fromString → toString parity
+    (ParquetToCsv.java:237-246): each of the 5 '-'-separated groups is any
+    1..16 hex digits whose value fits a signed long (Long.decode throws
+    otherwise → 'unknown'); the bits are composed exactly like fromString —
+    ``msb = ((g0<<16 | g1) << 16) | g2``, ``lsb = (g3<<48) | g4`` with
+    unchecked shifts and un-masked ORs, so over-long groups fold the same
+    way — and re-printed as 8-4-4-4-12 lowercase (UUID.toString)."""
+    shape_ok = c.rlike(_UUID_RE)
     parts = F.split(F.lower(c), "-")
+    # F.get (null on out-of-bounds) — unlike parts[i], which throws under
+    # ANSI mode when a malformed input has fewer than 5 groups; the null
+    # propagates to a null condition → the 'unknown' branch
+    g = [F.get(parts, i) for i in range(5)]
+    # Long.decode bound: ≤ 15 hex digits always fits; 16 fits iff the top
+    # nibble leaves the sign bit clear
+    fits = None
+    for gi in g:
+        cond = (F.length(gi) <= 15) | (F.substring(gi, 1, 1) < "8")
+        fits = cond if fits is None else (fits & cond)
+    vals = [F.conv(gi, 16, 10).cast("long") for gi in g]
+    msb = F.shiftleft(F.shiftleft(vals[0], 16).bitwiseOR(vals[1]), 16).bitwiseOR(vals[2])
+    lsb = F.shiftleft(vals[3], 48).bitwiseOR(vals[4])
     canon = F.concat_ws(
         "-",
-        F.lpad(parts[0], 8, "0"), F.lpad(parts[1], 4, "0"), F.lpad(parts[2], 4, "0"),
-        F.lpad(parts[3], 4, "0"), F.lpad(parts[4], 12, "0"),
+        _hex_digits(F.shiftright(msb, 32), 8),
+        _hex_digits(F.shiftright(msb, 16), 4),
+        _hex_digits(msb, 4),
+        _hex_digits(F.shiftright(lsb, 48), 4),
+        _hex_digits(lsb, 12),
     )
     return fmt_null(
         F.when(c.isNull(), F.lit(None)).otherwise(
-            quote(F.when(ok, canon).otherwise(F.lit("unknown")))
+            quote(F.when(shape_ok & fits, canon).otherwise(F.lit("unknown")))
         )
     )
 

@@ -96,8 +96,15 @@ def _hyperplane_udf(bits: int, bands: int, seed: int, dim: int | None = None):
         # exports the identical planes)
         planes = hyperplanes(d, bits, seed)
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vals])
+        # accumulate dots dimension-by-dimension — the exact fold order of
+        # DuckDB's list_dot_product — so dots equal the SQL oracle's doubles
+        # bit for bit (a BLAS matmul's blocked summation could flip the sign
+        # of a near-zero dot and change a band bucket)
+        dots = np.zeros((len(x), bits), dtype=np.float64)
+        for i in range(d):
+            dots += x[:, i : i + 1] * planes[i]
         per_band = bits // bands
-        signs = (x @ planes > 0)[:, : bands * per_band]
+        signs = (dots > 0)[:, : bands * per_band]
         weights = (1 << np.arange(per_band, dtype=np.int64)).astype(np.int32)
         buckets = signs.reshape(len(x), bands, per_band).astype(np.int32) @ weights
         out.iloc[np.flatnonzero(mask)] = list(buckets)
@@ -203,7 +210,8 @@ def ivf_build(
     expensive assignment pass runs once and every search after it touches
     only the probed lists' files (partition pruning on ``_list``)."""
     sample_df = (
-        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        vectors.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy("_id")
         .limit(train_limit)
     )

@@ -36,7 +36,8 @@ from ..operators.encode import (
 LINEAGE_DDL = (
     "snapshot_id string, job_id string, run_id string, group_key string, "
     "n_chunks bigint, n_rows bigint, raw_bytes bigint, enc_bytes bigint, "
-    "wall_ms bigint, codecs string, status string, committed_at timestamp"
+    "wall_ms bigint, codecs string, status string, committed_at timestamp, "
+    "params string"
 )
 
 
@@ -58,6 +59,7 @@ class EncodeJob:
         order_cols: list[str] | None = None,
         chunk_rows: int = DEFAULT_CHUNK_ROWS,
         chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+        group_factor: int = 1,
     ):
         self.spark = spark
         self.out_dir = out_dir.rstrip("/")
@@ -67,6 +69,16 @@ class EncodeJob:
         self.order_cols = order_cols or ["path", "commit"]
         self.chunk_rows = chunk_rows
         self.chunk_bytes = chunk_bytes
+        self.group_factor = group_factor
+        # the salting/chunking parameters ARE part of the resume identity:
+        # a different group_factor/chunk_bytes produces different salted
+        # group keys, so resuming with changed params would re-encode
+        # everything under NEW keys while chunks() still returns the OLD
+        # committed groups too — duplicate rows. run() refuses the mismatch.
+        self.params = (
+            f"gc={','.join(self.group_cols)};oc={','.join(self.order_cols)};"
+            f"cr={chunk_rows};cb={chunk_bytes};gf={group_factor}"
+        )
 
     # ------------------------------------------------------------ lineage io
 
@@ -100,8 +112,24 @@ class EncodeJob:
         """
         run_id = uuid.uuid4().hex[:12]
         t0 = time.time()
+        prior = self.lineage().filter(
+            (F.col("snapshot_id") == self.snapshot_id)
+            & (F.col("job_id") == self.job_id)
+        )
+        if "params" in prior.columns:
+            mismatched = prior.filter(
+                F.col("params").isNotNull() & (F.col("params") != self.params)
+            ).limit(1).collect()
+            if mismatched:
+                raise RuntimeError(
+                    f"lineage for (snapshot={self.snapshot_id}, job={self.job_id}) "
+                    f"was committed with different salting/chunking params "
+                    f"({mismatched[0]['params']!r} != {self.params!r}) — resume "
+                    f"would duplicate groups; use a new job_id or the original params"
+                )
         salted = salt_groups(
-            df, self.group_cols, self.order_cols, self.chunk_bytes
+            df, self.group_cols, self.order_cols, self.chunk_bytes,
+            self.group_factor,
         )
         pending = salted.join(self.done_groups(), on="_gk", how="left_anti")
         if only_groups_like is not None:
@@ -135,6 +163,7 @@ class EncodeJob:
                 "wall_ms", "codecs",
                 F.lit("done").alias("status"),
                 F.current_timestamp().alias("committed_at"),
+                F.lit(self.params).alias("params"),
             )
         )
         lineage_rows.write.mode("append").parquet(f"{self.out_dir}/lineage")

@@ -271,25 +271,34 @@ def test_fmt_timestamp_trailing_zero_trim(spark):
     ts_ms = datetime.datetime(2024, 3, 1, 12, 30, 45, 123000)
     ts_s = datetime.datetime(2024, 3, 1, 12, 30, 45)
     ts_m = datetime.datetime(2024, 3, 1, 12, 30)
-    df = spark.createDataFrame([(ts_ms,), (ts_s,), (ts_m,)], "v timestamp")
+    ts_us = datetime.datetime(2024, 3, 1, 12, 30, 45, 500)  # sub-millisecond
+    df = spark.createDataFrame([(ts_ms,), (ts_s,), (ts_m,), (ts_us,)], "v timestamp")
     out = [r[0] for r in df.select(fmt.fmt_timestamp_iso(F.col("v"))).collect()]
     assert out == [
         "'2024-03-01T12:30:45.123Z'",
         "'2024-03-01T12:30:45Z'",
         "'2024-03-01T12:30Z'",
+        "'2024-03-01T12:30:45.000500Z'",  # 6-digit fraction, never '.000'
     ]
 
 
 def test_fmt_uuid_normalization(spark):
-    # Java UUID.fromString accepts short hex groups and uppercase,
-    # normalizing in toString (zero-pad to 8-4-4-4-12, lowercase)
+    # Java 8 UUID.fromString is lenient: short groups zero-pad; over-long
+    # groups (up to 16 hex digits fitting a signed long) fold through the
+    # <<16 shifts and un-masked ORs exactly as fromString composes them;
+    # values Long.decode would throw on render 'unknown'
     df = spark.createDataFrame(
-        [("1-2-3-4-5",), ("ABC-12-0-FF-1A2B",), ("123456789-2-3-4-5",)], "v string"
+        [("1-2-3-4-5",), ("ABC-12-0-FF-1A2B",), ("123456789-2-3-4-5",),
+         ("ffffffffffffffff-2-3-4-5",), ("12345678901234567-2-3-4-5",)],
+        "v string",
     )
     out = [r[0] for r in df.select(fmt.fmt_uuid(F.col("v"))).collect()]
     assert out[0] == "'00000001-0002-0003-0004-000000000005'"
     assert out[1] == "'00000abc-0012-0000-00ff-000000001a2b'"
-    assert out[2] == "'unknown'"  # first group > 8 hex digits
+    # new BigInteger-free fold: ((0x123456789<<16)|2)<<16|3 wraps mod 2^64
+    assert out[2] == "'23456789-0002-0003-0004-000000000005'"
+    assert out[3] == "'unknown'"  # 0xffff... > Long.MAX → decode throws
+    assert out[4] == "'unknown'"  # 17 hex digits → shape reject
 
 
 def test_asof_join_null_in_matched_row(spark):

@@ -104,3 +104,19 @@ def test_verify_ignores_orphan_chunks(spark, corpus, tmp_path_factory):
     # lineage join prevents)
     dec_raw = decode_table(raw.drop("run"), CORPUS_DDL)
     assert multiset_diff(corpus, dec_raw).count() > 0
+
+
+def test_resume_refuses_changed_salting_params(spark, corpus, tmp_path_factory):
+    """Changing salting/chunking params between runs of the same
+    (snapshot, job) would re-encode every group under NEW salted keys while
+    chunks() also returns the OLD committed ones → duplicates. run() must
+    refuse instead."""
+    out = str(tmp_path_factory.mktemp("params_job"))
+    EncodeJob(spark, out, snapshot_id="s1", chunk_rows=1024, chunk_bytes=1 << 20).run(corpus)
+    clashing = EncodeJob(spark, out, snapshot_id="s1", chunk_rows=1024,
+                         chunk_bytes=1 << 20, group_factor=2)
+    with pytest.raises(RuntimeError, match="params"):
+        clashing.run(corpus)
+    # a different job_id is fine
+    EncodeJob(spark, out, snapshot_id="s1", job_id="other", chunk_rows=1024,
+              chunk_bytes=1 << 20, group_factor=2).run(corpus)
