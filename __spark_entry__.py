@@ -4,7 +4,7 @@
                  sf0.001, returning per-lang bit-identity counts.
 ``queries``    — one entry per implemented operator (SURVEY.md §2.2 plus
                  the training-data ops); each takes (spark, sf_dir).
-``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents (43 of 47 queries,
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents (45 of 49 queries,
                  including the full MinHash/LSH/IVF/winnowing pipelines via
                  portable hashing). Omitted only for genuinely
                  non-SQL-expressible ops — engine-internal byte metrics,
