@@ -193,7 +193,10 @@ def q_csv_format_uuid_decimal(spark, sf_dir):
         F.substring(h, 13, 4), F.substring(h, 17, 4), F.substring(h, 21, 12),
     )
     raw = (
-        F.when(F.col("doc_id") % 13 == 0, overlong)
+        # trailing dashes: Java String.split("-") elides trailing empties,
+        # so this still parses (formatting.fmt_uuid mirrors the elision)
+        F.when(F.col("doc_id") % 19 == 0, F.concat(full, F.lit("--")))
+        .when(F.col("doc_id") % 13 == 0, overlong)
         .when(F.col("doc_id") % 17 == 0, toobig)
         .when(F.col("doc_id") % 11 == 0, F.lit("not-a-uuid"))
         .when(F.col("doc_id") % 7 == 0, short)
@@ -650,7 +653,7 @@ def _uuid_decimal_oracle() -> str:
         mask = (1 << (4 * n)) - 1
         return f"lpad(printf('%x', (({v}) & {mask})), {n}, '0')"
 
-    g = [f"string_split(lower(u), '-')[{i + 1}]" for i in range(5)]
+    g = [f"string_split(lower(s), '-')[{i + 1}]" for i in range(5)]
     fits = ' AND '.join(
         f"(length({gi}) <= 15 OR substring({gi}, 1, 1) < '8')" for gi in g
     )
@@ -661,13 +664,14 @@ def _uuid_decimal_oracle() -> str:
         f"concat_ws('-', {dig(f'({msb}) >> 32', 8)}, {dig(f'({msb}) >> 16', 4)}, "
         f"{dig(msb, 4)}, {dig(f'({lsb}) >> 48', 4)}, {dig(lsb, 12)})"
     )
-    shape = r"regexp_matches(u, '^[0-9a-fA-F]{1,16}(-[0-9a-fA-F]{1,16}){4}$')"
+    shape = r"regexp_matches(s, '^[0-9a-fA-F]{1,16}(-[0-9a-fA-F]{1,16}){4}$')"
     return f"""
         WITH src AS (
           SELECT doc_id, md5('u:' || CAST(doc_id AS VARCHAR)) AS h FROM documents
-        ), raw AS (
+        ), raw0 AS (
           SELECT doc_id,
-                 CASE WHEN doc_id % 13 = 0 THEN concat_ws('-', h[1:9], h[9:12], h[13:16], h[17:20], h[21:32])
+                 CASE WHEN doc_id % 19 = 0 THEN concat_ws('-', h[1:8], h[9:12], h[13:16], h[17:20], h[21:32]) || '--'
+                      WHEN doc_id % 13 = 0 THEN concat_ws('-', h[1:9], h[9:12], h[13:16], h[17:20], h[21:32])
                       WHEN doc_id % 17 = 0 THEN concat_ws('-', 'f' || h[1:15], h[9:12], h[13:16], h[17:20], h[21:32])
                       WHEN doc_id % 11 = 0 THEN 'not-a-uuid'
                       WHEN doc_id % 7 = 0 THEN concat_ws('-', h[1:3], h[9:10], h[13:13], h[17:20], h[21:25])
@@ -675,6 +679,9 @@ def _uuid_decimal_oracle() -> str:
                       ELSE concat_ws('-', h[1:8], h[9:12], h[13:16], h[17:20], h[21:32])
                  END AS u
           FROM src
+        ), raw AS (
+          -- Java String.split('-') elides trailing empties: strip them
+          SELECT doc_id, regexp_replace(u, '-+$', '') AS s FROM raw0
         )
         SELECT doc_id,
                CASE WHEN {shape} AND {fits}
@@ -917,7 +924,7 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT lang) AS ndv_lang,
                    count(DISTINCT source) AS ndv_source,
                    CAST(round(avg(strlen(text)) * 10000) AS BIGINT) AS avg_len_text_e4,
-                   sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null_text
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text
             FROM documents
         """,
         "dedup_exact_documents": """

@@ -172,7 +172,9 @@ def compress(blob: bytes, merges: list[tuple[int, int, int]]) -> bytes:
     into cache-resident work — the untiled form was memory-bandwidth-bound
     and stopped scaling beyond a few cores (single shared bus)."""
     if not merges:
-        return blob
+        # the decode pipeline passes memoryviews; honor the declared
+        # ``bytes`` return type even on the no-op path
+        return bytes(blob)
     levels = _levels(merges)
     full = np.frombuffer(blob, dtype=np.uint8)
     if len(full) <= _TILE:
@@ -213,7 +215,7 @@ def decompress(blob: bytes, merges: list[tuple[int, int, int]]) -> bytes:
     Expansion is per-byte table-driven, so ANY cut points are valid tile
     boundaries — each tile expands independently while cache-hot."""
     if not merges:
-        return blob
+        return bytes(blob)
     rev_levels = list(reversed(_levels(merges)))
     full = np.frombuffer(blob, dtype=np.uint8)
     if len(full) <= _TILE:

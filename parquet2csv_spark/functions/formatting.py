@@ -122,9 +122,14 @@ def fmt_uuid(c: Column) -> Column:
     otherwise → 'unknown'); the bits are composed exactly like fromString —
     ``msb = ((g0<<16 | g1) << 16) | g2``, ``lsb = (g3<<48) | g4`` with
     unchecked shifts and un-masked ORs, so over-long groups fold the same
-    way — and re-printed as 8-4-4-4-12 lowercase (UUID.toString)."""
-    shape_ok = c.rlike(_UUID_RE)
-    parts = F.split(F.lower(c), "-")
+    way — and re-printed as 8-4-4-4-12 lowercase (UUID.toString).
+
+    Java's ``String.split("-")`` elides trailing empty strings, so
+    ``'1-2-3-4-5--'`` parses like ``'1-2-3-4-5'``; mirror that by
+    stripping trailing '-' runs before the shape check."""
+    s = F.regexp_replace(c, "-+$", "")
+    shape_ok = s.rlike(_UUID_RE)
+    parts = F.split(F.lower(s), "-")
     # F.get (null on out-of-bounds) — unlike parts[i], which throws under
     # ANSI mode when a malformed input has fewer than 5 groups; the null
     # propagates to a null condition → the 'unknown' branch

@@ -60,9 +60,14 @@ class EncodeJob:
         chunk_rows: int = DEFAULT_CHUNK_ROWS,
         chunk_bytes: int = DEFAULT_CHUNK_BYTES,
         group_factor: int = 1,
+        legacy_params: str | None = None,
     ):
         self.spark = spark
         self.out_dir = out_dir.rstrip("/")
+        # explicit caller assertion of the salting/chunking params a
+        # pre-params lineage dir was written with — required to resume
+        # lineage rows that predate the params column (see run())
+        self.legacy_params = legacy_params
         self.snapshot_id = snapshot_id
         self.job_id = job_id
         self.group_cols = group_cols or ["repo"]
@@ -84,7 +89,12 @@ class EncodeJob:
 
     def lineage(self) -> DataFrame:
         try:
-            return self.spark.read.parquet(f"{self.out_dir}/lineage")
+            # mergeSchema: a lineage dir mixing pre-params and post-params
+            # files must not drop the params column depending on which
+            # file's footer Spark happens to sample
+            return self.spark.read.option("mergeSchema", True).parquet(
+                f"{self.out_dir}/lineage"
+            )
         except Exception:
             return self.spark.createDataFrame([], LINEAGE_DDL)
 
@@ -127,6 +137,24 @@ class EncodeJob:
                     f"({mismatched[0]['params']!r} != {self.params!r}) — resume "
                     f"would duplicate groups; use a new job_id or the original params"
                 )
+            legacy = prior.filter(F.col("params").isNull()).limit(1).collect()
+        else:
+            # the whole column is absent → every prior row predates params
+            legacy = prior.limit(1).collect()
+        if legacy and self.legacy_params != self.params:
+            # rows written before params tracking carry no record of their
+            # salting config; defaults have changed since (group_factor
+            # 2 → 1), so silently resuming would re-encode those groups
+            # under NEW salted keys while chunks() still returns the old
+            # committed groups → duplicate rows. Caller must assert the
+            # legacy params match the current ones to proceed.
+            raise RuntimeError(
+                f"lineage for (snapshot={self.snapshot_id}, job={self.job_id}) "
+                f"contains rows without recorded salting/chunking params — "
+                f"cannot prove a resume is duplicate-free. Pass "
+                f"legacy_params={self.params!r} (the params string the "
+                f"original run used) to resume, or use a new job_id"
+            )
         salted = salt_groups(
             df, self.group_cols, self.order_cols, self.chunk_bytes,
             self.group_factor,

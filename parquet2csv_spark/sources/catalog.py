@@ -24,7 +24,7 @@ class Snapshot:
     snapshot_id: str
     n_files: int
     total_bytes: int
-    # manifest: relpath -> (size, mtime). Reading a snapshot reads EXACTLY
+    # manifest: relpath -> (size, mtime_ns). Reading a snapshot reads EXACTLY
     # these files (Iceberg snapshot-isolation semantics over an append-only
     # directory), so an OLD snapshot stays readable after new files land.
     files: dict[str, tuple[int, int]] | None = None
@@ -39,7 +39,9 @@ def _manifest(path: str) -> tuple[str, int, int, dict[str, tuple[int, int]]]:
                 continue
             fp = os.path.join(root, f)
             st = os.stat(fp)
-            files[os.path.relpath(fp, path)] = (st.st_size, int(st.st_mtime))
+            # nanosecond mtime: a same-size rewrite within the same second
+            # must still be detected as a mutation
+            files[os.path.relpath(fp, path)] = (st.st_size, st.st_mtime_ns)
             total += st.st_size
     digest = hashlib.sha256(
         "\n".join(f"{k}:{v[0]}:{v[1]}" for k, v in files.items()).encode()
@@ -78,7 +80,7 @@ class ParquetDirCatalog:
                     raise RuntimeError(
                         f"snapshot {snap.snapshot_id}: pinned file {rel} was deleted"
                     ) from None
-                if st.st_size != size or int(st.st_mtime) != mtime:
+                if st.st_size != size or st.st_mtime_ns != mtime:
                     raise RuntimeError(
                         f"snapshot {snap.snapshot_id}: pinned file {rel} was mutated"
                     )
@@ -87,6 +89,11 @@ class ParquetDirCatalog:
             for rel in snap.files
             if rel.endswith(".parquet")
         ]
+        if not data:
+            raise RuntimeError(
+                f"snapshot {snap.snapshot_id}: manifest for {snap.table_path} "
+                f"contains no .parquet data files — nothing to read"
+            )
         return (
             self.spark.read.option("basePath", snap.table_path).parquet(*data)
         )

@@ -221,3 +221,12 @@ def test_list_selector_and_encode_best():
     spec, frame = selector.encode_best(arr)
     assert spec.startswith("list")
     assert decode_array(frame).cast(arr.type).equals(arr)
+
+
+def test_fsst_no_merge_path_returns_bytes():
+    # the decode pipeline hands memoryviews in; the no-merges early exit
+    # must still honor the declared ``bytes`` return type
+    blob = memoryview(b"abcabc")
+    assert type(fsst.compress(blob, [])) is bytes
+    assert type(fsst.decompress(blob, [])) is bytes
+    assert fsst.decompress(blob, []) == b"abcabc"

@@ -482,3 +482,16 @@ def test_dup_clusters_transitive(spark):
     )
     out = {r["key"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
     assert out == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
+
+
+def test_fmt_uuid_trailing_dashes(spark):
+    # Java String.split("-") elides trailing empty strings, so
+    # UUID.fromString("1-2-3-4-5--") parses like "1-2-3-4-5"; a MIDDLE
+    # empty group still rejects (split keeps it → 6 components → throw)
+    df = spark.createDataFrame(
+        [("1-2-3-4-5-",), ("1-2-3-4-5---",), ("1-2-3--4-5",)], "v string"
+    )
+    out = [r[0] for r in df.select(fmt.fmt_uuid(F.col("v"))).collect()]
+    assert out[0] == "'00000001-0002-0003-0004-000000000005'"
+    assert out[1] == "'00000001-0002-0003-0004-000000000005'"
+    assert out[2] == "'unknown'"

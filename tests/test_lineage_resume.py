@@ -120,3 +120,27 @@ def test_resume_refuses_changed_salting_params(spark, corpus, tmp_path_factory):
     # a different job_id is fine
     EncodeJob(spark, out, snapshot_id="s1", job_id="other", chunk_rows=1024,
               chunk_bytes=1 << 20, group_factor=2).run(corpus)
+
+
+def test_resume_refuses_legacy_lineage_missing_params(spark, corpus, tmp_path_factory):
+    """Lineage rows written before params tracking (or with null params)
+    carry no record of their salting config; defaults have changed since
+    (group_factor 2→1), so a silent resume could duplicate groups. run()
+    must refuse unless the caller asserts the legacy params explicitly."""
+    out = str(tmp_path_factory.mktemp("legacy_job"))
+    job = EncodeJob(spark, out, snapshot_id="sL", chunk_rows=1024, chunk_bytes=1 << 20)
+    job.run(corpus)
+    # simulate a pre-params lineage dir: rewrite it without the column
+    legacy = spark.read.parquet(f"{out}/lineage").drop("params")
+    legacy.write.mode("overwrite").parquet(f"{out}/lineage_tmp")
+    import shutil
+    shutil.rmtree(f"{out}/lineage")
+    shutil.move(f"{out}/lineage_tmp", f"{out}/lineage")
+
+    again = EncodeJob(spark, out, snapshot_id="sL", chunk_rows=1024, chunk_bytes=1 << 20)
+    with pytest.raises(RuntimeError, match="legacy_params"):
+        again.run(corpus)
+    # explicit assertion of the original params unblocks the resume
+    ok = EncodeJob(spark, out, snapshot_id="sL", chunk_rows=1024, chunk_bytes=1 << 20,
+                   legacy_params=again.params)
+    ok.run(corpus)

@@ -226,3 +226,33 @@ def test_snapshot_time_travel_after_append(spark, tmp_path):
     os.utime(full, (0, 0))
     with pytest.raises(RuntimeError, match="mutated"):
         cat.read(snap1)
+
+
+def test_catalog_empty_manifest_raises_descriptive(spark, tmp_path):
+    # a pinned snapshot whose manifest holds no .parquet data files must
+    # fail with a clear empty-snapshot message, not spark's zero-path error
+    p = str(tmp_path / "empty_t")
+    os.makedirs(p)
+    with open(os.path.join(p, "data.txt"), "w") as f:
+        f.write("not parquet")
+    cat = ParquetDirCatalog(spark)
+    snap = cat.snapshot(p)
+    with pytest.raises(RuntimeError, match="no .parquet data files"):
+        cat.read(snap)
+
+
+def test_catalog_detects_same_second_rewrite(spark, tmp_path):
+    # nanosecond mtimes: a same-size rewrite inside the same wall-clock
+    # second must still be flagged as a mutation
+    p = str(tmp_path / "t2")
+    spark.range(10).write.parquet(p)
+    cat = ParquetDirCatalog(spark)
+    snap = cat.snapshot(p)
+    rel, (size, mtime_ns) = next(
+        (k, v) for k, v in snap.files.items() if k.endswith(".parquet")
+    )
+    fp = os.path.join(p, rel)
+    # same size, mtime differing only in the sub-second part
+    os.utime(fp, ns=(mtime_ns + 1, mtime_ns + 1))
+    with pytest.raises(RuntimeError, match="mutated"):
+        cat.read(snap)
