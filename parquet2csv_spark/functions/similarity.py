@@ -126,22 +126,25 @@ def lsh_topk(
     round_digits: int = 4,
 ) -> DataFrame:
     """Approximate top-k: match on any LSH band bucket, exact re-rank of
-    candidates. Recall measured against cosine_topk in tests."""
+    candidates. Recall measured against cosine_topk in tests.
+
+    The band exchange carries only (id, band, bucket); vectors are joined
+    back BY ID for the exact re-rank (same pattern as embedding_near_dups).
+    Exploding vectors through the band join would duplicate every corpus
+    vector ``bands``× through the shuffle — at 768-dim float embeddings
+    that payload dominates the exchange."""
     sig = _hyperplane_udf(bits, bands, seed, dim)
-    v = vectors.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), sig(F.col(vec_col)).alias("n_sig")
-    )
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), sig(F.col(vec_col)).alias("q_sig")
-    )
-    vb = v.select("n_id", "n_vec", F.posexplode("n_sig").alias("band", "bucket"))
-    qb = q.select("q_id", "q_vec", F.posexplode("q_sig").alias("band", "bucket"))
-    cands = (
+    v = vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    vb = v.select("n_id", F.posexplode(sig(F.col("n_vec"))).alias("band", "bucket"))
+    qb = q.select("q_id", F.posexplode(sig(F.col("q_vec"))).alias("band", "bucket"))
+    cand_ids = (
         vb.join(F.broadcast(qb), ["band", "bucket"])
         .filter(F.col("n_id") != F.col("q_id"))
-        .select("q_id", "q_vec", "n_id", "n_vec")
+        .select("q_id", "n_id")
         .dropDuplicates(["q_id", "n_id"])
     )
+    cands = cand_ids.join(v, "n_id").join(F.broadcast(q), "q_id")
     cos = (_dot(F.col("q_vec"), F.col("n_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("n_vec")))).alias("_cos")
     w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("n_id"))
     return (

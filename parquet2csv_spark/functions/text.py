@@ -115,7 +115,15 @@ def _winnow_udf(texts: pd.Series) -> pd.Series:
     """Winnowing fingerprints (Schleimer et al., SIGMOD 2003): polynomial
     hash over k-grams, minimum per sliding window. All arithmetic is native
     uint64 with wraparound (hash family = mod 2^64, masked to 63 bits for
-    LongType) — no dtype=object big-int math in the hot path."""
+    LongType) — no dtype=object big-int math in the hot path.
+
+    Batched across the WHOLE Arrow batch: all documents' bytes are
+    concatenated once, the K=8 polynomial passes and the sliding-window
+    min run once over the concatenation, and per-document results are
+    sliced back out by offset — k-grams and windows that would span a
+    document boundary are simply never read (a doc with n bytes owns
+    exactly hash positions [o, o+n-K] and window starts [o, o+n-K-W+1]).
+    The earlier per-document form repeated the passes once per row."""
     K, W, B = 8, 16, np.uint64(257)
 
     # B^(K-1-j) mod 2^64, computed once per batch
@@ -124,24 +132,39 @@ def _winnow_udf(texts: pd.Series) -> pd.Series:
     for j in range(K - 2, -1, -1):
         powers[j] = powers[j + 1] * B  # uint64 wraparound is the modulus
 
-    def one(t):
-        if t is None:
-            return None
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        n = len(b)
-        if n < K:
-            return []
-        h = np.zeros(n - K + 1, dtype=np.uint64)
-        for j in range(K):  # K=8 vector passes, not per-char Python
-            h += b[j : n - K + 1 + j] * powers[j]
-        h &= np.uint64((1 << 63) - 1)  # non-negative in int64
-        if len(h) <= W:
-            return [int(h.min())]
-        win = np.lib.stride_tricks.sliding_window_view(h, W)
-        mins = win.min(axis=1)
-        return np.unique(mins).astype(np.int64).tolist()
+    encoded = [None if t is None else t.encode("utf-8") for t in texts]
+    lens = [0 if e is None else len(e) for e in encoded]
+    offs = np.concatenate(([0], np.cumsum(lens))).tolist()
+    total = offs[-1]
 
-    return texts.map(one)
+    h = wins = None
+    if total >= K:
+        buf = np.frombuffer(
+            b"".join(e for e in encoded if e), dtype=np.uint8
+        ).astype(np.uint64)
+        h = np.zeros(total - K + 1, dtype=np.uint64)
+        for j in range(K):  # K=8 vector passes for the whole batch
+            h += buf[j : total - K + 1 + j] * powers[j]
+        h &= np.uint64((1 << 63) - 1)  # non-negative in int64
+        h = h.astype(np.int64)  # one bulk cast instead of per-doc casts
+        if len(h) > W:
+            wins = np.lib.stride_tricks.sliding_window_view(h, W).min(axis=1)
+
+    res = []
+    for i, e in enumerate(encoded):
+        if e is None:
+            res.append(None)
+            continue
+        n, o = lens[i], offs[i]
+        if n < K:
+            res.append([])
+            continue
+        nh = n - K + 1  # this doc's hash positions: h[o : o+nh]
+        if nh <= W:
+            res.append([int(h[o : o + nh].min())])
+        else:
+            res.append(np.unique(wins[o : o + nh - W + 1]).tolist())
+    return pd.Series(res, dtype=object)
 
 
 def fingerprint_winnow(df: DataFrame, key_cols: list[str], text_col: str = "text") -> DataFrame:

@@ -495,3 +495,16 @@ def test_fmt_uuid_trailing_dashes(spark):
     assert out[0] == "'00000001-0002-0003-0004-000000000005'"
     assert out[1] == "'00000001-0002-0003-0004-000000000005'"
     assert out[2] == "'unknown'"
+
+
+def test_lsh_topk_band_exchange_ids_only(spark):
+    # the band posexplode must not carry the vector columns: every corpus
+    # vector would otherwise ride the exchange bands-times over
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 2)
+    out = sim.lsh_topk(df, q, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    gen_lines = [ln for ln in plan.splitlines() if "posexplode" in ln]
+    assert gen_lines, "expected posexplode Generate nodes in the plan"
+    assert all("_vec" not in ln for ln in gen_lines)
