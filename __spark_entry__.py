@@ -4,14 +4,16 @@
                  sf0.001, returning per-lang bit-identity counts.
 ``queries``    — one entry per implemented operator (SURVEY.md §2.2 plus
                  the training-data ops); each takes (spark, sf_dir).
-``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents (45 of 49 queries,
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents (48 of 50 queries,
                  including the full MinHash/LSH/IVF/winnowing pipelines via
-                 portable hashing). Omitted only for genuinely
-                 non-SQL-expressible ops — engine-internal byte metrics,
-                 the corpus-generator summary, binary-exact float text
-                 (needs ~52 significant digits; DuckDB decimals stop at 38)
-                 and approximate sketches — where the driver records a
-                 rows-only check.
+                 portable hashing, pinned-constant oracles for the
+                 deterministic engine metrics/corpus summary, and a
+                 short-expansion F2 float query). Omitted only for the two
+                 genuinely non-SQL-expressible ops — full binary-exact
+                 float text (needs ~52 significant digits; DuckDB decimals
+                 stop at 38; the short-expansion twin IS oracle-checked)
+                 and approximate sketches (exact twins are) — where the
+                 driver records a rows-only check.
 """
 
 from __future__ import annotations
@@ -130,13 +132,17 @@ def q_encode_metrics_documents(spark, sf_dir):
 
 
 def q_corpus_roundtrip(spark, sf_dir):
+    """One Spark job: the three summary counts are 1-row aggregates
+    crossJoined into a single plan (the earlier form ran three separate
+    driver actions). corpus/chunks are cached so the encode subtree is
+    materialized once even though two branches read it."""
     corpus = generate_corpus(spark, 3000, seed=42).cache()
-    chunks = encode_grouped(corpus, ["repo"], ["path", "commit"], chunk_rows=1024)
+    chunks = encode_grouped(corpus, ["repo"], ["path", "commit"], chunk_rows=1024).cache()
     dec = decode_table(chunks, CORPUS_DDL)
-    return spark.createDataFrame(
-        [(corpus.count(), chunks.count(), multiset_diff(corpus, dec).count())],
-        "n_rows bigint, n_chunks bigint, multiset_diff bigint",
-    )
+    n_rows = corpus.agg(F.count(F.lit(1)).alias("n_rows"))
+    n_chunks = chunks.agg(F.count(F.lit(1)).alias("n_chunks"))
+    n_diff = multiset_diff(corpus, dec).agg(F.count(F.lit(1)).alias("multiset_diff"))
+    return n_rows.crossJoin(n_chunks).crossJoin(n_diff)
 
 
 # ----------------------------------------------- reference parity operators
@@ -163,6 +169,19 @@ def q_csv_format_timestamps(spark, sf_dir):
 def q_csv_format_floats(spark, sf_dir):
     ev = _T(spark, sf_dir, "events")
     return ev.select("event_id", fmt.fmt_float_exact(F.col("value")).alias("value_fmt"))
+
+
+def q_csv_format_floats_short(spark, sf_dir):
+    """F2 with a DRIVER oracle (ParquetToCsv.java:180-203): derive floats
+    whose exact binary expansion is short — k/1024 with |k| < 4096 needs
+    ≤ 10 fractional digits — so DuckDB can reproduce the expansion via
+    DECIMAL(38,10) text with trailing zeros trimmed. The arbitrary-length
+    expansions (and the scientific regime) stay covered by
+    ``csv_format_floats`` rows-only + pytest."""
+    d = _T(spark, sf_dir, "documents")
+    v = ((F.col("doc_id") % 4096 - 1024).cast("double") / F.lit(1024.0)).cast("float")
+    raw = F.when(F.col("doc_id") % 29 == 0, F.lit(None).cast("float")).otherwise(v)
+    return d.select("doc_id", fmt.fmt_float_exact(raw).alias("value_fmt"))
 
 
 def q_csv_format_uuid_decimal(spark, sf_dir):
@@ -586,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_format_strings": q_csv_format_strings,
         "csv_format_timestamps": q_csv_format_timestamps,
         "csv_format_floats": q_csv_format_floats,
+        "csv_format_floats_short": q_csv_format_floats_short,
         "csv_format_uuid_decimal": q_csv_format_uuid_decimal,
         "agg_pricing_summary": q_agg_pricing_summary,
         "window_topk_orders": q_window_topk_orders,
@@ -867,6 +887,39 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "csv_format_uuid_decimal": _uuid_decimal_oracle(),
+        "csv_format_floats_short": r"""
+            -- k/1024 floats have exact expansions within DECIMAL(38,10);
+            -- trim trailing zeros then a trailing dot to match
+            -- str(Decimal(float(v))) == Java new BigDecimal(double).toString
+            SELECT doc_id,
+                   CASE WHEN doc_id % 29 = 0 THEN 'null'
+                        ELSE regexp_replace(regexp_replace(
+                               CAST(CAST(CAST(doc_id % 4096 - 1024 AS DOUBLE) / 1024.0
+                                    AS DECIMAL(38,10)) AS VARCHAR),
+                               '0+$', ''), '\.$', '')
+                   END AS value_fmt
+            FROM documents
+        """,
+        "encode_metrics_documents": """
+            -- pinned constants: the corpus is the driver's seeded sf0.01
+            -- documents table and the codec selector is deterministic, so
+            -- any codec/selector drift must BREAK this row, not pass a
+            -- rows-only check (captured from a verified run)
+            SELECT * FROM (VALUES
+              ('doc_id',  CAST(1 AS BIGINT), CAST(4000 AS BIGINT),   CAST(593 AS BIGINT)),
+              ('lang',    CAST(1 AS BIGINT), CAST(3000 AS BIGINT),   CAST(254 AS BIGINT)),
+              ('n_chars', CAST(1 AS BIGINT), CAST(4000 AS BIGINT),   CAST(593 AS BIGINT)),
+              ('source',  CAST(1 AS BIGINT), CAST(4250 AS BIGINT),   CAST(148 AS BIGINT)),
+              ('text',    CAST(1 AS BIGINT), CAST(151174 AS BIGINT), CAST(24169 AS BIGINT))
+            ) AS t(col, n_chunks, raw_bytes, enc_bytes)
+        """,
+        "corpus_roundtrip": """
+            -- pinned constants: generate_corpus(3000, seed=42) and the
+            -- chunker are deterministic; multiset_diff must be 0
+            SELECT CAST(3000 AS BIGINT) AS n_rows,
+                   CAST(37 AS BIGINT) AS n_chunks,
+                   CAST(0 AS BIGINT) AS multiset_diff
+        """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

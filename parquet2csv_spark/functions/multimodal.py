@@ -57,16 +57,21 @@ _FEAT_SCHEMA = T.ArrayType(T.FloatType())
 
 
 def decode_media(df: DataFrame, payload_col: str = "payload", *, fake: bool = False,
-                 feature_dim: int = 16) -> DataFrame:
-    """Decode/feature-extract stage. Real decoding needs PIL/ffmpeg (absent
-    here) — STUB. ``fake=True`` yields a deterministic byte-histogram
-    'feature vector' with the exact batch shape a real extractor would have
-    (Arrow-batched pandas UDF over binary), so partitioning/UDF plumbing is
-    fully exercised."""
-    if not fake:
+                 feature_dim: int = 16, decoder=None) -> DataFrame:
+    """Decode/feature-extract stage. The decode boundary is an API, not a
+    dead end: pass ``decoder`` — a plain ``bytes -> sequence[float]``
+    callable (e.g. wrapping PIL + a vision model on a real cluster; it is
+    cloudpickled to executors like any UDF closure) — and it runs inside
+    the same Arrow-batched pandas UDF. Without one, real decoding needs
+    image/audio libraries absent from this container — STUB; ``fake=True``
+    yields a deterministic byte-histogram 'feature vector' with the exact
+    batch shape a real extractor would have, so partitioning/UDF plumbing
+    is fully exercised."""
+    if decoder is None and not fake:
         raise NotImplementedError(
             "media decode requires image/audio libraries not present in this "
-            "container; pass fake=True for the deterministic stand-in"
+            "container; pass decoder=<bytes -> sequence[float]> to plug a "
+            "real one in, or fake=True for the deterministic stand-in"
         )
 
     @F.pandas_udf(_FEAT_SCHEMA)
@@ -74,6 +79,8 @@ def decode_media(df: DataFrame, payload_col: str = "payload", *, fake: bool = Fa
         def one(b):
             if b is None:
                 return None
+            if decoder is not None:
+                return [float(x) for x in decoder(bytes(b))]
             arr = np.frombuffer(b, dtype=np.uint8)
             hist, _ = np.histogram(arr, bins=feature_dim, range=(0, 256))
             total = max(1, len(arr))
@@ -89,17 +96,21 @@ RESIZED_DDL = "media_id bigint, width int, height int, pixels binary"
 
 def resize_images(
     df: DataFrame, width: int = 32, height: int = 32,
-    payload_col: str = "payload", *, fake: bool = False,
+    payload_col: str = "payload", *, fake: bool = False, resizer=None,
 ) -> DataFrame:
     """Image resize stage over ``mapInPandas`` — the Arrow-batched shape a
     real PIL/opencv resize would use (one batch in, one batch out, binary
-    pixel buffers of exactly width×height bytes). Real decoding is STUBBED
-    (no image libraries in this container): ``fake=True`` produces a
-    deterministic nearest-neighbor 'resample' of the raw payload bytes."""
-    if not fake:
+    pixel buffers of exactly width×height bytes). Pass ``resizer`` — a
+    ``(bytes, width, height) -> bytes`` callable returning width×height
+    pixel bytes — to plug in a real decoder on a cluster that has one.
+    Otherwise real decoding is STUBBED (no image libraries in this
+    container): ``fake=True`` produces a deterministic nearest-neighbor
+    'resample' of the raw payload bytes."""
+    if resizer is None and not fake:
         raise NotImplementedError(
             "image resize requires PIL/opencv, not present in this container; "
-            "pass fake=True for the deterministic stand-in"
+            "pass resizer=<(bytes, w, h) -> bytes> to plug a real one in, "
+            "or fake=True for the deterministic stand-in"
         )
     n_px = width * height
 
@@ -112,6 +123,9 @@ def resize_images(
                 hs.append(height)
                 if b is None:
                     px.append(None)
+                    continue
+                if resizer is not None:
+                    px.append(bytes(resizer(bytes(b), width, height)))
                     continue
                 src = np.frombuffer(b, dtype=np.uint8)
                 if len(src) == 0:
@@ -131,16 +145,20 @@ FRAMES_DDL = "media_id bigint, frame_no int, frame binary"
 
 def sample_frames(
     df: DataFrame, every_bytes: int = 1024, frame_bytes: int = 256,
-    payload_col: str = "payload", *, fake: bool = False,
+    payload_col: str = "payload", *, fake: bool = False, demuxer=None,
 ) -> DataFrame:
     """Video frame-sampling stage: one input row fans out to N frame rows
     (the 1→many batch shape a real ffmpeg keyframe sampler has), via
-    ``mapInPandas``. Real demuxing is STUBBED; ``fake=True`` samples a
-    fixed-size byte window every ``every_bytes`` as the stand-in frame."""
-    if not fake:
+    ``mapInPandas``. Pass ``demuxer`` — a ``bytes -> iterable[bytes]``
+    callable yielding frame payloads — to plug in real ffmpeg bindings on
+    a cluster that has them. Otherwise demuxing is STUBBED; ``fake=True``
+    samples a fixed-size byte window every ``every_bytes`` as the
+    stand-in frame."""
+    if demuxer is None and not fake:
         raise NotImplementedError(
             "frame sampling requires ffmpeg bindings, not present in this "
-            "container; pass fake=True for the deterministic stand-in"
+            "container; pass demuxer=<bytes -> iterable[bytes]> to plug a "
+            "real one in, or fake=True for the deterministic stand-in"
         )
 
     def run(batches):
@@ -148,6 +166,12 @@ def sample_frames(
             ids, nos, frames = [], [], []
             for mid, b in zip(pdf["media_id"], pdf[payload_col]):
                 if b is None:
+                    continue
+                if demuxer is not None:
+                    for i, fr in enumerate(demuxer(bytes(b))):
+                        ids.append(mid)
+                        nos.append(i)
+                        frames.append(bytes(fr))
                     continue
                 for i, off in enumerate(range(0, max(1, len(b)), every_bytes)):
                     ids.append(mid)

@@ -508,3 +508,26 @@ def test_lsh_topk_band_exchange_ids_only(spark):
     gen_lines = [ln for ln in plan.splitlines() if "posexplode" in ln]
     assert gen_lines, "expected posexplode Generate nodes in the plan"
     assert all("_vec" not in ln for ln in gen_lines)
+
+
+def test_multimodal_injected_decoders(spark):
+    # the decode boundary is dependency-injection, not a dead end: a
+    # user-supplied callable runs inside the same Arrow-batched plumbing
+    from parquet2csv_spark.functions import multimodal as mmod
+
+    rows = [(1, b"\x01\x02\x03\x04"), (2, None), (3, b"\xff" * 10)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    feats = {r["media_id"]: r["features"] for r in
+             mmod.decode_media(df, decoder=lambda b: [float(len(b)), float(b[0])]).collect()}
+    assert feats[1] == [4.0, 1.0] and feats[2] is None and feats[3] == [10.0, 255.0]
+
+    px = {r["media_id"]: r["pixels"] for r in
+          mmod.resize_images(df, width=2, height=1,
+                             resizer=lambda b, w, h: b[: w * h].ljust(w * h, b"\x00")).collect()}
+    assert px[1] == b"\x01\x02" and px[2] is None and px[3] == b"\xff\xff"
+
+    fr = mmod.sample_frames(df, demuxer=lambda b: [b[i:i+2] for i in range(0, len(b), 2)]).collect()
+    got = {(r["media_id"], r["frame_no"]): r["frame"] for r in fr}
+    assert got[(1, 0)] == b"\x01\x02" and got[(1, 1)] == b"\x03\x04"
+    assert (2, 0) not in got and len([k for k in got if k[0] == 3]) == 5

@@ -256,3 +256,34 @@ def test_catalog_detects_same_second_rewrite(spark, tmp_path):
     os.utime(fp, ns=(mtime_ns + 1, mtime_ns + 1))
     with pytest.raises(RuntimeError, match="mutated"):
         cat.read(snap)
+
+
+def test_iceberg_catalog_snapshot_pinned_read(spark, tmp_path):
+    """Production-path parity: with the Iceberg runtime jar on the
+    classpath, a snapshot-pinned IcebergCatalog.read must see the frozen
+    file set exactly like ParquetDirCatalog does over a plain directory.
+    Skips cleanly in the jar-less sandbox — run on a cluster with e.g.
+    ``spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.8.1``
+    (README: Running)."""
+    from parquet2csv_spark.sources.catalog import IcebergCatalog
+
+    try:
+        icat = IcebergCatalog(spark)
+    except ImportError:
+        pytest.skip("Iceberg runtime jar not on classpath")
+
+    # hadoop catalog over a temp dir (v2 catalogs resolve conf lazily, so
+    # runtime conf.set works)
+    spark.conf.set("spark.sql.catalog.it_tmp", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.it_tmp.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.it_tmp.warehouse", str(tmp_path / "wh"))
+    spark.sql("CREATE TABLE it_tmp.db.t (id BIGINT) USING iceberg")
+    spark.range(10).writeTo("it_tmp.db.t").append()
+    snap0 = spark.sql(
+        "SELECT snapshot_id FROM it_tmp.db.t.snapshots ORDER BY committed_at DESC LIMIT 1"
+    ).collect()[0][0]
+    spark.range(10, 15).writeTo("it_tmp.db.t").append()
+
+    # pinned read sees the frozen snapshot; unpinned sees the append
+    assert icat.read("it_tmp.db.t", snapshot_id=snap0).count() == 10
+    assert icat.read("it_tmp.db.t").count() == 15
