@@ -66,14 +66,18 @@ def minhash_signatures(
     """
     sh = shingles(df, key_col, text_col, n).withColumn("h", _doc_hash32(F.col("shingle")))
     perms = [(2 * j + 3, (j * j + 7) % 1000003) for j in range(num_perm)]
+    # expressions as parsed SQL strings, one py4j call each — composing
+    # 3×num_perm Column operators costs hundreds of py4j round-trips of
+    # one-shot driver latency (same fix as simhash)
     hcols = [
-        F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE)).alias(f"m{j}")
+        F.expr(f"pmod(h * {a} + {b}, {_MERSENNE})").alias(f"m{j}")
         for j, (a, b) in enumerate(perms)
     ]
     mins = sh.select("key", *hcols).groupBy("key").agg(
-        *[F.min(f"m{j}").alias(f"m{j}") for j in range(num_perm)]
+        *[F.expr(f"min(m{j})").alias(f"m{j}") for j in range(num_perm)]
     )
-    return mins.select("key", F.array(*[F.col(f"m{j}") for j in range(num_perm)]).alias("sig"))
+    arr = ", ".join(f"m{j}" for j in range(num_perm))
+    return mins.select("key", F.expr(f"array({arr})").alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -85,16 +89,15 @@ def lsh_candidate_pairs(
     The band bucket is md5 of the comma-joined band values — deterministic
     AND portable (DuckDB computes the identical bucket, so the whole
     pipeline is oracle-checkable end to end)."""
+    band_exprs = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band))
+        + "))"
+        for b in range(bands)
+    )
     banded = sig_df.select(
         "key",
-        F.posexplode(
-            F.array(*[
-                F.md5(F.concat_ws(",", *[
-                    F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)
-                ]))
-                for b in range(bands)
-            ])
-        ).alias("band", "bucket"),
+        F.posexplode(F.expr(f"array({band_exprs})")).alias("band", "bucket"),
     )
     left = banded.alias("l")
     right = banded.alias("r")
