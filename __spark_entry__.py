@@ -4,7 +4,7 @@
                  sf0.001, returning per-lang bit-identity counts.
 ``queries``    — one entry per implemented operator (SURVEY.md §2.2 plus
                  the training-data ops); each takes (spark, sf_dir).
-``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents (48 of 50 queries,
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents (51 of 53 queries,
                  including the full MinHash/LSH/IVF/winnowing pipelines via
                  portable hashing, pinned-constant oracles for the
                  deterministic engine metrics/corpus summary, and a
@@ -383,6 +383,50 @@ def q_quality_scores_documents(spark, sf_dir):
      .withColumn("q_tokens", F.col("q_tokens").cast("long"))
 
 
+def q_quality_percentile_cutoff(spark, sf_dir):
+    """Curation cutoff selection: exact interpolated percentiles (R-7, the
+    same definition DuckDB's quantile_cont uses) of the quality score per
+    language — the statistic a pipeline thresholds on before filtering.
+    Scale: one groupBy(lang) shuffle; percentile is an exact aggregate
+    (sorts within each small group), with approx_percentile as the
+    documented big-data twin (see approx_stats_events)."""
+    d = _T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    q = tx.quality_features(d).select("lang", "q_score")
+    return q.groupBy("lang").agg(
+        F.round(F.expr("percentile(q_score, 0.5D)"), 4).alias("p50"),
+        F.round(F.expr("percentile(q_score, 0.9D)"), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_stratified_sample_documents(spark, sf_dir):
+    """Deterministic stratified sampling: exactly every 10th document per
+    language stratum in doc_id order (training mixes need per-stratum
+    rates, not global ones). Scale: one window shuffle partitioned by the
+    stratum; a skewed stratum can be salted by (lang, doc_id % k) with
+    per-salt rates — the systematic doc_id % 20 sample is the
+    shuffle-free variant (sample_documents_systematic)."""
+    d = _T(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") - 1) % 10 == 0)
+        .select("doc_id", "lang")
+    )
+
+
+def q_token_histogram_documents(spark, sf_dir):
+    """Token-length distribution (pipeline QA: spot truncation/outliers):
+    bucketed token counts per 50-token bin. Map-side combinable groupBy —
+    at most a few hundred buckets regardless of corpus size."""
+    d = _T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return (
+        d.select(tx.token_count(F.col("text")).alias("n_tok"))
+        .groupBy(F.floor(F.col("n_tok") / 50).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_langid_documents(spark, sf_dir):
     d = _T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return tx.langid(d).select("doc_id", "lang_pred")
@@ -622,6 +666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe_documents": q_token_count_bpe_documents,
         "curate_training_documents": q_curate_training_documents,
         "quality_scores_documents": q_quality_scores_documents,
+        "quality_percentile_cutoff": q_quality_percentile_cutoff,
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "token_histogram_documents": q_token_histogram_documents,
         "langid_documents": q_langid_documents,
         "fingerprint_documents": q_fingerprint_documents,
         "winnow_fingerprints_documents": q_winnow_documents,
@@ -1008,6 +1055,41 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "langid_documents": _langid_oracle(),
+        "quality_percentile_cutoff": r"""
+            WITH f AS (
+              SELECT lang,
+                     length(regexp_extract_all(text, '\S+')) AS n_tok,
+                     length(regexp_extract_all(text, '[\.,;:!\?]')) AS n_punct,
+                     length(text) AS n_chars,
+                     length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS n_stop
+              FROM documents WHERE text IS NOT NULL),
+            q AS (
+              SELECT lang,
+                     -- round BEFORE the quantile: the Spark side feeds
+                     -- quality_features' q_score, which is round(score, 4)
+                     round(least(n_tok / 100.0, 1.0) * 0.4
+                     + least((n_stop / greatest(n_tok, 1)) * 4.0, 1.0) * 0.3
+                     + (1.0 - least((n_punct / greatest(n_chars, 1)) * 5.0, 1.0)) * 0.3,
+                     4) AS q_score
+              FROM f)
+            SELECT lang,
+                   round(quantile_cont(q_score, 0.5), 4) AS p50,
+                   round(quantile_cont(q_score, 0.9), 4) AS p90,
+                   count(*) AS n_docs
+            FROM q GROUP BY lang
+        """,
+        "stratified_sample_documents": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+              FROM documents)
+            WHERE (rn - 1) % 10 = 0
+        """,
+        "token_histogram_documents": r"""
+            SELECT CAST(floor(length(regexp_extract_all(text, '\S+')) / 50.0) AS BIGINT) AS bucket,
+                   count(*) AS n_docs
+            FROM documents WHERE text IS NOT NULL GROUP BY 1
+        """,
         "curate_training_documents": r"""
             WITH f AS (
               SELECT doc_id, text,
