@@ -124,6 +124,9 @@ _TILE = 1 << 18  # 256 KiB tiles: every level's temporaries stay cache-resident
                  # (decompress doubles the tile, so small tiles win — measured
                  # 256K: 21 MB/s comp + 19 MB/s dec vs 17/6 at 1 MiB)
 
+_EVEN = np.zeros(_TILE, dtype=bool)
+_EVEN[::2] = True
+
 
 def _compress_tile(arr: np.ndarray, levels: list[list[tuple[int, int, int]]]) -> np.ndarray:
     for level in levels:
@@ -140,23 +143,24 @@ def _compress_tile(arr: np.ndarray, levels: list[list[tuple[int, int, int]]]) ->
             continue
         # overlap resolution, parity-greedy: even-index matches can never
         # conflict with each other (2 apart); an odd-index match survives
-        # only when neither even neighbor matched. Computed on HALF-size
-        # strided views — minimal memory traffic.
-        keep = np.zeros(n - 1, dtype=bool)
-        me = match[::2]
-        keep[::2] = me
-        mo = match[1::2]          # odd starts; neighbors are me[j], me[j+1]
-        no_left = ~me[: len(mo)]
-        no_right = np.ones(len(mo), dtype=bool)
-        tail = me[1 : len(mo) + 1]
-        no_right[: len(tail)] = ~tail
-        keep[1::2] = mo & no_left & no_right
+        # only when neither even neighbor matched. Contiguous shifted
+        # copies beat half-size strided views here (strided boolean ops
+        # defeat numpy's vector kernels — measured ~2.5× slower).
+        prev = np.empty_like(match)
+        prev[0] = False
+        prev[1:] = match[:-1]
+        nxt = np.empty_like(match)
+        nxt[-1] = False
+        nxt[:-1] = match[1:]
+        keep = match & (_EVEN[: n - 1] | (~prev & ~nxt))
         ki = np.flatnonzero(keep)  # sparse positions: O(k) writes, not O(n)
-        out = arr.copy()
-        out[ki] = m[ki]
-        delete = np.zeros(n, dtype=bool)
-        delete[ki + 1] = True      # a kept match at i absorbs byte i+1
-        arr = out[~delete]
+        # delete absorbed bytes first, then patch codes at their shifted
+        # slots: kept matches are ≥2 apart, so exactly j deletions precede
+        # kept match j and its new index is ki[j] - j (avoids the full
+        # arr.copy() of the substitute-then-delete form)
+        out = np.delete(arr, ki + 1)
+        out[ki - np.arange(len(ki))] = m[ki]
+        arr = out
     return arr
 
 

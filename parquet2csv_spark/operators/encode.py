@@ -321,7 +321,15 @@ def encode_salted(
     Default: 8 tasks per core slot."""
     if num_partitions is None:
         num_partitions = salted.sparkSession.sparkContext.defaultParallelism * 8
-    salted = salted.repartition(num_partitions, "_gk")
+    # sort JVM-side: groupBy(...).applyInArrow requires a within-partition
+    # sort on _gk anyway; widening it to (_gk, *order_cols) rides the same
+    # Tungsten sort (the required _gk ordering is its prefix — still ONE
+    # exchange + ONE sort, plan-verified) and hands every group to Python
+    # already ordered, removing the per-group sort_indices + take (a full
+    # extra copy of each group) from the Arrow path
+    salted = salted.repartition(num_partitions, "_gk").sortWithinPartitions(
+        "_gk", *order_cols
+    )
     data_cols = [c for c in salted.columns if c != "_gk"]
 
     # worker-lifetime codec cache: selector decisions and FSST tables carry
@@ -333,11 +341,8 @@ def encode_salted(
 
     def enc_group(tbl: pa.Table) -> pa.Table:
         gk = tbl["_gk"][0].as_py() if tbl.num_rows else ""
+        # rows arrive ordered by order_cols (JVM sort above)
         body = tbl.select(data_cols)
-        order_idx = pa.compute.sort_indices(
-            body, sort_keys=[(c, "ascending") for c in order_cols]
-        )
-        body = body.take(order_idx)
         rows = []
         for seq, (off, ln) in enumerate(split_points(body, chunk_rows, chunk_bytes)):
             piece = body.slice(off, ln)
