@@ -87,7 +87,10 @@ def main() -> None:
             logical = r["logical"]
             print(f"rep {rep} local[{c}]: {r['secs']:.1f}s", flush=True)
     thr = {c: logical / statistics.median(s) / 1e9 for c, s in secs.items()}
-    n_small, n_big = levels[0], levels[1]
+    # the north_rule pair is N→4N: headline the first exact-4× pair in the
+    # level list (fall back to the first two levels if none)
+    four_x = [(a, b) for a in levels for b in levels if b == 4 * a]
+    n_small, n_big = four_x[0] if four_x else (levels[0], levels[1])
     eff = thr[n_big] / ((n_big // n_small) * thr[n_small])
     summary = {
         **{f"throughput_local{c}_gbps": round(thr[c], 4) for c in levels},
