@@ -4,7 +4,7 @@
                  sf0.001, returning per-lang bit-identity counts.
 ``queries``    — one entry per implemented operator (SURVEY.md §2.2 plus
                  the training-data ops); each takes (spark, sf_dir).
-``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents (51 of 53 queries,
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents (52 of 54 queries,
                  including the full MinHash/LSH/IVF/winnowing pipelines via
                  portable hashing, pinned-constant oracles for the
                  deterministic engine metrics/corpus summary, and a
@@ -527,6 +527,18 @@ def q_sessionize_events(spark, sf_dir):
     )
 
 
+def q_stream_sessionize_events(spark, sf_dir):
+    """Streaming session windows (F.session_window, dynamic gap) — the
+    Structured-Streaming twin of the batch lag+cumsum sessionizer. Note
+    the boundary: session_window splits when the inter-event gap is
+    >= the gap (windows merge only on strict overlap), so the oracle uses
+    >= where the batch sessionizer uses >."""
+    from parquet2csv_spark.streaming.windows import session_windowed_counts
+
+    out = session_windowed_counts(spark, f"{sf_dir}/events.parquet", gap="30 minutes")
+    return out.select("user_id", "session_start", "n")
+
+
 def q_approx_stats_events(spark, sf_dir):
     ev = _T(spark, sf_dir, "events")
     return ev.agg(
@@ -686,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_stats_events": q_approx_stats_events,
         "exact_stats_events": q_exact_stats_events,
         "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_sessionize_events": q_stream_sessionize_events,
         "asof_join_events": q_asof_join_events,
         "json_extract_events": q_json_extract_events,
         "multimodal_bytes": q_multimodal_bytes,
@@ -1244,6 +1257,20 @@ def oracle_sql() -> dict[str, str]:
                   FROM g)
             SELECT user_id, count(DISTINCT sess_id) AS n_sessions, count(*) AS n_events
             FROM s GROUP BY user_id
+        """,
+        "stream_sessionize_events": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30*60*1000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts,
+                         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                             ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM g)
+            SELECT user_id, min(ts) AS session_start, count(*) AS n
+            FROM s GROUP BY user_id, sid
         """,
         "stream_windowed_counts": """
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,

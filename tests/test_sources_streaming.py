@@ -287,3 +287,48 @@ def test_iceberg_catalog_snapshot_pinned_read(spark, tmp_path):
     # pinned read sees the frozen snapshot; unpinned sees the append
     assert icat.read("it_tmp.db.t", snapshot_id=snap0).count() == 10
     assert icat.read("it_tmp.db.t").count() == 15
+
+
+def test_session_windowed_counts(spark, tmp_path):
+    import datetime
+
+    from parquet2csv_spark.streaming.windows import session_windowed_counts
+
+    base = datetime.datetime(2024, 1, 1)
+    # user 7: events at 0,10,20 min (one session), then 120,125 (second);
+    # user 8: one lone event
+    rows = [
+        (1, base + datetime.timedelta(minutes=m), 7, "click", 1.0)
+        for m in [0, 10, 20, 120, 125]
+    ] + [(9, base, 8, "view", 1.0)]
+    p = str(tmp_path / "sess_ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.parquet(p)
+    out = session_windowed_counts(spark, p, gap="30 minutes").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r["n"])
+    assert sorted(by_user[7]) == [2, 3]  # two sessions: 3 events + 2 events
+    assert by_user[8] == [1]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    import datetime
+
+    from parquet2csv_spark.streaming.windows import streaming_dedup
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, "click", 1.0),
+        (1, base + datetime.timedelta(minutes=5), "click", 1.0),  # dup key
+        (2, base, "view", 2.0),
+        (2, base + datetime.timedelta(minutes=1), "view", 2.0),   # dup key
+        (3, base, "click", 3.0),
+    ]
+    p = str(tmp_path / "dup_ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).write.parquet(p)
+    out = streaming_dedup(spark, p, key_cols=["event_id"]).collect()
+    assert sorted(r["event_id"] for r in out) == [1, 2, 3]
