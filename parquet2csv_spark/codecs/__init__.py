@@ -37,7 +37,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from . import bitpack, foref, fsst, rle, vec
+from . import alp, bitpack, foref, fsst, rle, vec
 
 # codec tags
 T_PLAIN_INT = 1
@@ -52,6 +52,7 @@ T_BOOL = 9
 T_ZLIB = 10
 T_LIST = 11
 T_PLAIN_DEC = 12
+T_ALP = 13
 
 _U32 = struct.Struct("<I")
 _ZLIB_LEVEL = 6
@@ -192,7 +193,13 @@ def encode_array(arr: pa.Array, spec: str,
         else:
             tag, body = _enc_int(vals, base_spec if base_spec != "auto" else "for")
     elif kind == vec.KIND_FLOAT:
-        tag, body = T_PLAIN_FLOAT, vec.floats_to_bytes(arr)
+        if base_spec == "alp":
+            a = arr.fill_null(0.0) if arr.null_count else arr
+            np_dtype = np.float32 if pa.types.is_float32(typ) else np.float64
+            vals = np.ascontiguousarray(a.to_numpy(zero_copy_only=False), dtype=np_dtype)
+            tag, body = T_ALP, alp.encode(vals)
+        else:
+            tag, body = T_PLAIN_FLOAT, vec.floats_to_bytes(arr)
     elif kind == vec.KIND_DECIMAL:
         tag, body = T_PLAIN_DEC, vec.decimals_to_bytes(arr)
     else:  # strings
@@ -261,6 +268,11 @@ def decode_array(frame: bytes | memoryview) -> pa.Array:
         return vec.ints_from_numpy(_dec_int(tag, body, n), typ, valid)
     if tag == T_PLAIN_FLOAT:
         return vec.floats_from_bytes(body, typ, n, valid)
+    if tag == T_ALP:
+        np_dtype = np.float32 if pa.types.is_float32(typ) else np.float64
+        vals = alp.decode(body, n, np_dtype)
+        mask = None if valid is None else ~valid
+        return pa.array(vals, type=typ, mask=mask)
     if tag == T_PLAIN_DEC:
         return vec.decimals_from_bytes(body, typ, n, valid)
     if tag == T_PLAIN_STR:

@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from . import bitpack, encode_array, foref, fsst, rle, vec
+from . import alp, bitpack, encode_array, foref, fsst, rle, vec
 
 # "ratio" (default, north_star optimizes compressed size) or "fast"
 # (skips symbol-table candidates on large blobs). Workers inherit the env.
@@ -149,7 +149,22 @@ def choose(arr: pa.Array, stats: ColumnStats | None = None, profile: str | None 
         rle_sz = runs * (foref.encoded_size(1, st.value_range) + 2)
         best = min((for_sz, "for"), (rle_sz, "rle"), (plain_sz, "plain"))
         return best[1]
-    if st.kind in (vec.KIND_FLOAT, vec.KIND_DECIMAL):
+    if st.kind == vec.KIND_FLOAT:
+        # ALP probe on a stride sample: decimal-like floats (prices,
+        # rounded scores) scale to integers and take the FOR path; the
+        # encoder stores non-round-tripping values as exceptions, so a
+        # high sample ratio is a size heuristic, never a correctness bet
+        sample = _trial_sample(arr)
+        a = sample.fill_null(0.0) if sample.null_count else sample
+        vals = np.ascontiguousarray(
+            a.to_numpy(zero_copy_only=False),
+            dtype=np.float32 if pa.types.is_float32(arr.type) else np.float64,
+        )
+        _, ratio = alp.choose_exponent(vals)
+        if ratio >= 0.99:
+            return "alp"  # encode_best's generic +z trial still applies
+        return "plain+z"
+    if st.kind == vec.KIND_DECIMAL:
         # deflate trial decided at encode time via the +z fallback below
         return "plain+z"
     # very low cardinality: dict/RLE by construction (north_star: RLE/dict

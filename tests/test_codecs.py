@@ -230,3 +230,47 @@ def test_fsst_no_merge_path_returns_bytes():
     assert type(fsst.compress(blob, [])) is bytes
     assert type(fsst.decompress(blob, [])) is bytes
     assert fsst.decompress(blob, []) == b"abcabc"
+
+
+def test_alp_roundtrip_decimal_like_floats():
+    # prices/scores: 2-decimal doubles scale exactly at e=2
+    vals = np.round(np.linspace(-500, 500, 4000) * 1.37, 2)
+    arr = pa.array(vals, type=pa.float64())
+    spec, frame = selector.encode_best(arr)
+    assert spec.startswith("alp"), spec
+    out = decode_array(frame)
+    assert out.equals(arr)
+    # materially smaller than raw IEEE bytes
+    assert len(frame) < 0.5 * arr.nbytes
+
+
+def test_alp_exceptions_and_specials_bit_exact():
+    vals = np.array(
+        [1.25, float("nan"), float("inf"), -float("inf"), -0.0, 0.1 + 0.2,
+         1e300, 2.0 ** 53 + 1, 3.75, None],
+        dtype=object,
+    )
+    arr = pa.array([None if v is None else float(v) for v in vals], type=pa.float64())
+    frame = encode_array(arr, "alp")
+    out = decode_array(frame)
+    # bit-exact incl. NaN payload, infinities, -0.0, and the null
+    a = arr.fill_null(0.0).to_numpy(zero_copy_only=False).view(np.int64)
+    b = out.fill_null(0.0).to_numpy(zero_copy_only=False).view(np.int64)
+    assert (a == b).all()
+    assert out[9].as_py() is None
+
+
+def test_alp_float32_roundtrip():
+    vals = np.round(np.linspace(0, 90, 1000), 1).astype(np.float32)
+    arr = pa.array(vals, type=pa.float32())
+    frame = encode_array(arr, "alp")
+    out = decode_array(frame)
+    assert out.equals(arr)
+
+
+def test_alp_irrational_floats_fall_back_to_plain():
+    rng = np.random.default_rng(7)
+    arr = pa.array(rng.standard_normal(2000), type=pa.float64())
+    spec, frame = selector.encode_best(arr)
+    assert not spec.startswith("alp"), spec  # selector must not pick alp
+    assert decode_array(frame).equals(arr)
