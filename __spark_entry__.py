@@ -966,7 +966,7 @@ def oracle_sql() -> dict[str, str]:
             -- any codec/selector drift must BREAK this row, not pass a
             -- rows-only check (captured from a verified run)
             SELECT * FROM (VALUES
-              ('doc_id',  CAST(1 AS BIGINT), CAST(4000 AS BIGINT),   CAST(593 AS BIGINT)),
+              ('doc_id',  CAST(1 AS BIGINT), CAST(4000 AS BIGINT),   CAST(33 AS BIGINT)),
               ('lang',    CAST(1 AS BIGINT), CAST(3000 AS BIGINT),   CAST(254 AS BIGINT)),
               ('n_chars', CAST(1 AS BIGINT), CAST(4000 AS BIGINT),   CAST(593 AS BIGINT)),
               ('source',  CAST(1 AS BIGINT), CAST(4250 AS BIGINT),   CAST(148 AS BIGINT)),

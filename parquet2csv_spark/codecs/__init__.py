@@ -18,8 +18,8 @@ Frame layout::
 Codec spec mini-language (the string recorded per chunk in the chunks
 table, e.g. ``dict:fsst+z``):
 
-    ints   : plain | for | rle
-    floats : plain
+    ints   : plain | for | rle | delta (first + FOR-packed neighbor deltas)
+    floats : plain | alp (decimal-scaled ints + verbatim exceptions)
     bools  : plain (1-bit packed)
     strings: plain | fsst | dict:<values spec> | rledict:<values spec>
     suffix : +z  — zlib-wrap the codec body (transport layer, as Parquet
@@ -53,6 +53,7 @@ T_ZLIB = 10
 T_LIST = 11
 T_PLAIN_DEC = 12
 T_ALP = 13
+T_DELTA = 14
 
 _U32 = struct.Struct("<I")
 _ZLIB_LEVEL = 6
@@ -67,6 +68,19 @@ def _enc_int(vals: np.ndarray, spec: str) -> tuple[int, bytes]:
         return T_FOR, foref.encode(vals)
     if spec == "rle":
         return T_RLE_INT, rle.encode(vals)
+    if spec == "delta":
+        # first value verbatim + FOR over neighbor deltas: sorted or
+        # near-sorted columns (timestamps, sequential ids) have tiny delta
+        # ranges where the absolute range needs 40+ bits. int64 wraparound
+        # in diff and cumsum cancels, so the round-trip is exact for ANY
+        # values (Parquet DELTA_BINARY_PACKED / Gorilla lineage — public
+        # formats, independent implementation)
+        v = np.ascontiguousarray(vals, dtype=np.int64)
+        if len(v) == 0:
+            return T_DELTA, b""
+        u = v.view(np.uint64)
+        d = (u[1:] - u[:-1]).view(np.int64)
+        return T_DELTA, struct.pack("<q", int(v[0])) + foref.encode(d)
     raise ValueError(f"unknown int codec {spec!r}")
 
 
@@ -77,6 +91,16 @@ def _dec_int(tag: int, body: bytes, n: int) -> np.ndarray:
         return foref.decode(body, n)
     if tag == T_RLE_INT:
         return rle.decode(body)
+    if tag == T_DELTA:
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
+        (first,) = struct.unpack_from("<q", body, 0)
+        d = foref.decode(body[8:], n - 1)
+        out = np.empty(n, dtype=np.uint64)
+        out[0] = np.int64(first).astype(np.uint64)
+        np.cumsum(d.view(np.uint64), dtype=np.uint64, out=out[1:])
+        out[1:] += np.int64(first).astype(np.uint64)
+        return out.view(np.int64)
     raise ValueError(f"bad int tag {tag}")
 
 
@@ -264,7 +288,7 @@ def decode_array(frame: bytes | memoryview) -> pa.Array:
     if tag == T_BOOL:
         vals = bitpack.unpack(body, n, 1).astype(np.int64)
         return vec.ints_from_numpy(vals, typ, valid)
-    if tag in (T_PLAIN_INT, T_FOR, T_RLE_INT):
+    if tag in (T_PLAIN_INT, T_FOR, T_RLE_INT, T_DELTA):
         return vec.ints_from_numpy(_dec_int(tag, body, n), typ, valid)
     if tag == T_PLAIN_FLOAT:
         return vec.floats_from_bytes(body, typ, n, valid)

@@ -147,7 +147,27 @@ def choose(arr: pa.Array, stats: ColumnStats | None = None, profile: str | None 
         for_sz = foref.encoded_size(n, st.value_range)
         runs = max(1, int(st.run_ratio * n))
         rle_sz = runs * (foref.encoded_size(1, st.value_range) + 2)
-        best = min((for_sz, "for"), (rle_sz, "rle"), (plain_sz, "plain"))
+        # delta candidate: sorted timestamps and sequential ids have tiny
+        # delta ranges vs 40+-bit absolutes. Range estimated as the max
+        # over a CONTIGUOUS prefix (true neighbor deltas — a stride sample
+        # alone inflates them by the stride factor) AND the stride sample
+        # (prefix alone misses jumps later in the chunk, e.g. run edges)
+        delta_range = 0
+        seen = False
+        for piece in (
+            vec.ints_to_numpy(arr.slice(0, min(st.n, 4096))),
+            vec.ints_to_numpy(_sample(arr)),
+        ):
+            if len(piece) > 1:
+                u = piece.view(np.uint64)
+                d = (u[1:] - u[:-1]).view(np.int64)
+                delta_range = max(delta_range, int(d.max()) - int(d.min()))
+                seen = True
+        delta_sz = 8 + foref.encoded_size(n - 1, delta_range) if seen else plain_sz + 1
+        best = min(
+            (for_sz, "for"), (rle_sz, "rle"), (delta_sz, "delta"),
+            (plain_sz, "plain"),
+        )
         return best[1]
     if st.kind == vec.KIND_FLOAT:
         # ALP probe on a stride sample: decimal-like floats (prices,

@@ -175,9 +175,14 @@ def test_selector_runs_pick_rle_int():
     assert selector.choose(arr) == "rle"
 
 
-def test_selector_sequential_ints_pick_for():
+def test_selector_sequential_ints_pick_delta():
+    # constant stride: deltas are all 1 (range 0) — delta beats FOR's
+    # 17-bit absolute packing by ~1000x and round-trips exactly
     arr = pa.array(np.arange(100000, dtype=np.int64) + 10**12)
-    assert selector.choose(arr) == "for"
+    assert selector.choose(arr) == "delta"
+    spec, frame = selector.encode_best(arr)
+    assert decode_array(frame).equals(arr)
+    assert len(frame) < 100
 
 
 def test_selector_text_compresses():
@@ -274,3 +279,31 @@ def test_alp_irrational_floats_fall_back_to_plain():
     spec, frame = selector.encode_best(arr)
     assert not spec.startswith("alp"), spec  # selector must not pick alp
     assert decode_array(frame).equals(arr)
+
+
+def test_delta_roundtrip_sorted_timestamps():
+    # sorted microsecond timestamps: absolute range needs ~42 bits, the
+    # neighbor deltas ~20 — the selector must pick delta and win big
+    rng = np.random.default_rng(3)
+    vals = np.cumsum(rng.integers(0, 1 << 20, 10000)) + 1_700_000_000_000_000
+    arr = pa.array(vals, type=pa.timestamp("us"))
+    spec, frame = selector.encode_best(arr)
+    assert spec.startswith("delta"), spec
+    assert decode_array(frame).equals(arr)
+    for_frame = encode_array(arr, "for")
+    assert len(frame) < 0.7 * len(for_frame)
+
+
+def test_delta_wraparound_extremes_exact():
+    # deltas that overflow int64 must still round-trip (wrap cancels)
+    vals = np.array([-(2**63), 2**63 - 1, 0, -1, 2**62, -(2**62)], dtype=np.int64)
+    arr = pa.array(vals, type=pa.int64())
+    frame = encode_array(arr, "delta")
+    assert decode_array(frame).equals(arr)
+
+
+def test_delta_empty_and_single():
+    for vals in ([], [42]):
+        arr = pa.array(vals, type=pa.int64())
+        frame = encode_array(arr, "delta")
+        assert decode_array(frame).to_pylist() == vals
