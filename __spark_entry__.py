@@ -4,7 +4,7 @@
                  sf0.001, returning per-lang bit-identity counts.
 ``queries``    — one entry per implemented operator (SURVEY.md §2.2 plus
                  the training-data ops); each takes (spark, sf_dir).
-``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents (52 of 54 queries,
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents (53 of 55 queries,
                  including the full MinHash/LSH/IVF/winnowing pipelines via
                  portable hashing, pinned-constant oracles for the
                  deterministic engine metrics/corpus summary, and a
@@ -291,6 +291,20 @@ def q_cube_pricing(spark, sf_dir):
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
              F.count("*").alias("n"))
     )
+
+
+def q_grouping_sets_pricing(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form cube/rollup specialize):
+    one-dimensional marginals per returnflag and per linestatus in one
+    pass — same single-shuffle partial-agg shape as any groupBy."""
+    li = _T(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_li_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """)
 
 
 def q_rollup_pricing(spark, sf_dir):
@@ -670,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selector_stats_documents": q_selector_stats_documents,
         "cube_pricing": q_cube_pricing,
         "rollup_pricing": q_rollup_pricing,
+        "grouping_sets_pricing": q_grouping_sets_pricing,
         "pivot_pricing": q_pivot_pricing,
         "unpivot_region": q_unpivot_region,
         "sample_documents_systematic": q_sample_documents_systematic,
@@ -1018,6 +1033,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "unpivot_region": """
             SELECT r_regionkey, 'r_name' AS attr, r_name AS val FROM region
+        """,
+        "grouping_sets_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """,
         "rollup_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -94,3 +94,48 @@ def test_selector_never_worse_than_plain_much(data):
     plain = encode_array(arr, "plain")
     assert len(frame) <= len(plain) + 64  # header slack only
     assert decode_array(frame).cast(pa.string()).equals(arr)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.one_of(st.none(), st.integers(-(2 ** 63), 2 ** 63 - 1)), max_size=300),
+)
+def test_delta_roundtrip_any_ints(vals):
+    # delta must be exact for ARBITRARY ints (wraparound cancels), not
+    # just the sorted data the selector picks it for
+    arr = pa.array(vals, type=pa.int64())
+    assert decode_array(encode_array(arr, "delta")).equals(arr)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.floats(allow_nan=True, allow_infinity=True, width=64)),
+        max_size=200,
+    )
+)
+def test_alp_roundtrip_any_floats_bitexact(vals):
+    # alp's verify-at-encode exception path must make it exact for ANY
+    # doubles — NaN payloads, infinities, -0.0, subnormals included
+    arr = pa.array(vals, type=pa.float64())
+    out = decode_array(encode_array(arr, "alp"))
+    assert out.is_null().equals(arr.is_null())
+    a = arr.fill_null(0.0).to_numpy(zero_copy_only=False).view(np.int64)
+    b = out.fill_null(0.0).to_numpy(zero_copy_only=False).view(np.int64)
+    assert (a == b).all()
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.floats(allow_nan=True, allow_infinity=True, width=32)),
+        max_size=200,
+    )
+)
+def test_alp_roundtrip_any_float32_bitexact(vals):
+    arr = pa.array(vals, type=pa.float32())
+    out = decode_array(encode_array(arr, "alp"))
+    assert out.is_null().equals(arr.is_null())
+    a = arr.fill_null(0.0).to_numpy(zero_copy_only=False).view(np.int32)
+    b = out.fill_null(0.0).to_numpy(zero_copy_only=False).view(np.int32)
+    assert (a == b).all()
