@@ -135,14 +135,22 @@ def q_corpus_roundtrip(spark, sf_dir):
     """One Spark job: the three summary counts are 1-row aggregates
     crossJoined into a single plan (the earlier form ran three separate
     driver actions). corpus/chunks are cached so the encode subtree is
-    materialized once even though two branches read it."""
+    materialized once even though two branches read it — and unpersisted
+    before returning so the blocks don't pin executor memory for the rest
+    of the multi-query driver session (the 1 summary row is collected
+    eagerly; it IS the result)."""
     corpus = generate_corpus(spark, 3000, seed=42).cache()
     chunks = encode_grouped(corpus, ["repo"], ["path", "commit"], chunk_rows=1024).cache()
-    dec = decode_table(chunks, CORPUS_DDL)
-    n_rows = corpus.agg(F.count(F.lit(1)).alias("n_rows"))
-    n_chunks = chunks.agg(F.count(F.lit(1)).alias("n_chunks"))
-    n_diff = multiset_diff(corpus, dec).agg(F.count(F.lit(1)).alias("multiset_diff"))
-    return n_rows.crossJoin(n_chunks).crossJoin(n_diff)
+    try:
+        dec = decode_table(chunks, CORPUS_DDL)
+        n_rows = corpus.agg(F.count(F.lit(1)).alias("n_rows"))
+        n_chunks = chunks.agg(F.count(F.lit(1)).alias("n_chunks"))
+        n_diff = multiset_diff(corpus, dec).agg(F.count(F.lit(1)).alias("multiset_diff"))
+        rows = n_rows.crossJoin(n_chunks).crossJoin(n_diff).collect()
+    finally:
+        corpus.unpersist()
+        chunks.unpersist()
+    return spark.createDataFrame(rows, "n_rows bigint, n_chunks bigint, multiset_diff bigint")
 
 
 # ----------------------------------------------- reference parity operators
@@ -398,17 +406,27 @@ def q_quality_scores_documents(spark, sf_dir):
 
 
 def q_quality_percentile_cutoff(spark, sf_dir):
-    """Curation cutoff selection: exact interpolated percentiles (R-7, the
-    same definition DuckDB's quantile_cont uses) of the quality score per
-    language — the statistic a pipeline thresholds on before filtering.
-    Scale: one groupBy(lang) shuffle; percentile is an exact aggregate
-    (sorts within each small group), with approx_percentile as the
-    documented big-data twin (see approx_stats_events)."""
+    """Curation cutoff selection: discrete (type-1) quantiles of the
+    quality score per language — the statistic a pipeline thresholds on
+    before filtering. Discrete deliberately: the selected value is an
+    ACTUAL score at rank floor((n-1)p)+1, pure integer rank logic, so
+    Spark and DuckDB agree bit-for-bit. (The interpolated form lands on
+    .00005 half-way points of the 4-dp scores where the engines' ulp-level
+    interpolation differences flip the rounded 4th decimal — measured
+    2.6% group divergence.) Scale: one window + one groupBy shuffle on
+    lang; approx_percentile is the documented big-data twin."""
     d = _T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     q = tx.quality_features(d).select("lang", "q_score")
-    return q.groupBy("lang").agg(
-        F.round(F.expr("percentile(q_score, 0.5D)"), 4).alias("p50"),
-        F.round(F.expr("percentile(q_score, 0.9D)"), 4).alias("p90"),
+    wl = Window.partitionBy("lang")
+    ranked = q.withColumn("rn", F.row_number().over(wl.orderBy("q_score"))).withColumn(
+        "n", F.count(F.lit(1)).over(wl)
+    )
+    at = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.floor((F.col("n") - 1) * p) + 1, F.col("q_score"))
+    )
+    return ranked.groupBy("lang").agg(
+        at(0.5).alias("p50"),
+        at(0.9).alias("p90"),
         F.count(F.lit(1)).alias("n_docs"),
     )
 
@@ -543,10 +561,11 @@ def q_sessionize_events(spark, sf_dir):
 
 def q_stream_sessionize_events(spark, sf_dir):
     """Streaming session windows (F.session_window, dynamic gap) — the
-    Structured-Streaming twin of the batch lag+cumsum sessionizer. Note
-    the boundary: session_window splits when the inter-event gap is
-    >= the gap (windows merge only on strict overlap), so the oracle uses
-    >= where the batch sessionizer uses >."""
+    Structured-Streaming twin of the batch lag+cumsum sessionizer.
+    Boundary (verified empirically through the streaming path): an event
+    exactly ``gap`` after its predecessor still MERGES — session_window
+    splits only when the inter-event gap is strictly greater, the same
+    ``>`` rule as the batch sessionizer."""
     from parquet2csv_spark.streaming.windows import session_windowed_counts
 
     out = session_windowed_counts(spark, f"{sf_dir}/events.parquet", gap="30 minutes")
@@ -1106,11 +1125,16 @@ def oracle_sql() -> dict[str, str]:
                      + (1.0 - least((n_punct / greatest(n_chars, 1)) * 5.0, 1.0)) * 0.3,
                      4) AS q_score
               FROM f)
+            , r AS (
+              SELECT lang, q_score,
+                     row_number() OVER (PARTITION BY lang ORDER BY q_score) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM q)
             SELECT lang,
-                   round(quantile_cont(q_score, 0.5), 4) AS p50,
-                   round(quantile_cont(q_score, 0.9), 4) AS p90,
+                   max(CASE WHEN rn = CAST(floor((n-1)*0.5) AS BIGINT)+1 THEN q_score END) AS p50,
+                   max(CASE WHEN rn = CAST(floor((n-1)*0.9) AS BIGINT)+1 THEN q_score END) AS p90,
                    count(*) AS n_docs
-            FROM q GROUP BY lang
+            FROM r GROUP BY lang
         """,
         "stratified_sample_documents": """
             SELECT doc_id, lang FROM (
@@ -1283,7 +1307,7 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (
               SELECT user_id, ts,
                      CASE WHEN lag(ts) OVER w IS NULL
-                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30*60*1000000
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
                           THEN 1 ELSE 0 END AS new_sess
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
             s AS (SELECT user_id, ts,

@@ -94,8 +94,8 @@ def decode(body: bytes | memoryview, n: int, dtype: np.dtype) -> np.ndarray:
     raw = np.frombuffer(body[off : off + width * n_exc], dtype=dtype)
     off += width * n_exc
     scaled = foref.decode(body[off:], n)
+    # astype() above already returned a fresh owned array — patch in place
     vals = (scaled.astype(np.float64) / (10.0 ** e)).astype(dtype)
     if n_exc:
-        vals = vals.copy()
         vals[exc] = raw
     return vals

@@ -154,10 +154,10 @@ def choose(arr: pa.Array, stats: ColumnStats | None = None, profile: str | None 
         # (prefix alone misses jumps later in the chunk, e.g. run edges)
         delta_range = 0
         seen = False
-        for piece in (
-            vec.ints_to_numpy(arr.slice(0, min(st.n, 4096))),
-            vec.ints_to_numpy(_sample(arr)),
-        ):
+        pieces = [vec.ints_to_numpy(arr.slice(0, min(st.n, 4096)))]
+        if st.n > 4096:  # prefix IS the whole array otherwise
+            pieces.append(vec.ints_to_numpy(_sample(arr)))
+        for piece in pieces:
             if len(piece) > 1:
                 u = piece.view(np.uint64)
                 d = (u[1:] - u[:-1]).view(np.int64)

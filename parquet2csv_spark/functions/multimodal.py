@@ -125,7 +125,14 @@ def resize_images(
                     px.append(None)
                     continue
                 if resizer is not None:
-                    px.append(bytes(resizer(bytes(b), width, height)))
+                    buf = bytes(resizer(bytes(b), width, height))
+                    if len(buf) != n_px:
+                        raise ValueError(
+                            f"injected resizer returned {len(buf)} bytes for "
+                            f"media_id={mid}; the pixel-buffer contract is "
+                            f"exactly width*height = {n_px}"
+                        )
+                    px.append(buf)
                     continue
                 src = np.frombuffer(b, dtype=np.uint8)
                 if len(src) == 0:

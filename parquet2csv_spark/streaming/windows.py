@@ -8,9 +8,55 @@ synchronously, so the same computation is batch-checkable against a
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _drain_stream(
+    spark: SparkSession,
+    events_path: str,
+    build,
+    output_mode: str,
+    final_sql: str,
+) -> DataFrame:
+    """Shared readStream → transform → memory-sink drain harness.
+
+    ``build(stream) -> DataFrame`` applies the streaming transformation;
+    the drained result is returned as a batch DataFrame via ``final_sql``
+    (with ``{name}`` substituted by the sink's table name). The streaming
+    file source requires a directory — a single-file input is staged into
+    a temp dir that is removed after the drain."""
+    schema = spark.read.parquet(events_path).schema
+    staged = None
+    if os.path.isfile(events_path):
+        staged = tempfile.mkdtemp(prefix="stream_src_")
+        shutil.copy(events_path, os.path.join(staged, os.path.basename(events_path)))
+        events_path = staged
+    try:
+        stream = spark.readStream.schema(schema).parquet(events_path)
+        # event-time columns must be TIMESTAMP (not NTZ); session zone is
+        # UTC so the wall clock is preserved
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        name = f"s_{uuid.uuid4().hex[:8]}"
+        q = (
+            build(stream)
+            .writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the memory sink holds the drained rows in the session, so the
+        # staged source copy can be removed immediately
+        return spark.sql(final_sql.format(name=name))
+    finally:
+        if staged:
+            shutil.rmtree(staged, ignore_errors=True)
 
 
 def windowed_event_counts(
@@ -24,36 +70,16 @@ def windowed_event_counts(
     Returns the drained result as a batch DataFrame:
     (ws timestamp, event_type, n, total_value).
     """
-    import os
-    import shutil
-    import tempfile
+    def build(stream):
+        return (
+            stream.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        )
 
-    schema = spark.read.parquet(events_path).schema
-    if os.path.isfile(events_path):
-        # the streaming file source requires a directory — stage the file
-        d = tempfile.mkdtemp(prefix="stream_src_")
-        shutil.copy(events_path, os.path.join(d, os.path.basename(events_path)))
-        events_path = d
-    stream = spark.readStream.schema(schema).parquet(events_path)
-    # event-time columns must be TIMESTAMP (not NTZ); session zone is UTC so
-    # the wall clock is preserved
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = (
-        stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-    )
-    name = f"win_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.sql(
-        f"SELECT w.start AS ws, event_type, n, total_value FROM {name}"
+    return _drain_stream(
+        spark, events_path, build, "complete",
+        "SELECT w.start AS ws, event_type, n, total_value FROM {name}",
     )
 
 
@@ -65,40 +91,25 @@ def session_windowed_counts(
 ) -> DataFrame:
     """Session windows (dynamic-length gaps, the streaming twin of the
     batch lag+cumsum sessionizer in ``q_sessionize_events``): events per
-    (user_id, session), session closed after ``gap`` of inactivity.
+    (user_id, session), session closed after more than ``gap`` of
+    inactivity (an event exactly ``gap`` after its predecessor still
+    merges — split on strictly-greater gaps, same as the batch rule).
 
     ``F.session_window`` keeps per-key open-session state bounded by the
     watermark — at scale state is partitioned by the grouping key, the
     same shuffle shape as any keyed streaming aggregation.
     Returns (user_id, session_start, session_end, n) drained as batch.
     """
-    import os
-    import shutil
-    import tempfile
+    def build(stream):
+        return (
+            stream.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n"))
+        )
 
-    schema = spark.read.parquet(events_path).schema
-    if os.path.isfile(events_path):
-        d = tempfile.mkdtemp(prefix="stream_src_")
-        shutil.copy(events_path, os.path.join(d, os.path.basename(events_path)))
-        events_path = d
-    stream = spark.readStream.schema(schema).parquet(events_path)
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = (
-        stream.withWatermark("ts", watermark)
-        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n"))
-    )
-    name = f"sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.sql(
-        f"SELECT user_id, w.start AS session_start, w.end AS session_end, n FROM {name}"
+    return _drain_stream(
+        spark, events_path, build, "complete",
+        "SELECT user_id, w.start AS session_start, w.end AS session_end, n FROM {name}",
     )
 
 
@@ -114,27 +125,9 @@ def streaming_dedup(
     partitioned by key and bounded by the watermark horizon (the unbounded
     ``dropDuplicates`` variant would grow state forever on an infinite
     stream). Returns the deduped rows drained as batch."""
-    import os
-    import shutil
-    import tempfile
+    def build(stream):
+        return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            key_cols or ["event_id"]
+        )
 
-    schema = spark.read.parquet(events_path).schema
-    if os.path.isfile(events_path):
-        d = tempfile.mkdtemp(prefix="stream_src_")
-        shutil.copy(events_path, os.path.join(d, os.path.basename(events_path)))
-        events_path = d
-    stream = spark.readStream.schema(schema).parquet(events_path)
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-        key_cols or ["event_id"]
-    )
-    name = f"dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.sql(f"SELECT * FROM {name}")
+    return _drain_stream(spark, events_path, build, "append", "SELECT * FROM {name}")

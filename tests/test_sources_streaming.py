@@ -332,3 +332,25 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     ).write.parquet(p)
     out = streaming_dedup(spark, p, key_cols=["event_id"]).collect()
     assert sorted(r["event_id"] for r in out) == [1, 2, 3]
+
+
+def test_session_window_exact_gap_merges(spark, tmp_path):
+    # an event exactly `gap` after its predecessor MERGES (session_window
+    # splits only on strictly-greater gaps) — pins the boundary the
+    # stream_sessionize_events oracle encodes with `>` (was wrongly `>=`)
+    import datetime
+
+    from parquet2csv_spark.streaming.windows import session_windowed_counts
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 7, "c", 1.0),
+        (2, base + datetime.timedelta(minutes=30), 7, "c", 1.0),            # == gap → merge
+        (3, base + datetime.timedelta(minutes=60, seconds=1), 7, "c", 1.0), # > gap → split
+    ]
+    p = str(tmp_path / "gap_ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.parquet(p)
+    out = sorted(r["n"] for r in session_windowed_counts(spark, p, gap="30 minutes").collect())
+    assert out == [1, 2]
