@@ -200,16 +200,18 @@ def _expand_tile(arr: np.ndarray, rev_levels: list[list[tuple[int, int, int]]]) 
             left_lut[code] = left
             right_lut[code] = right
         mask = is_level[arr]
-        if not mask.any():
-            continue
-        reps = mask.astype(np.int64) + 1
-        starts = np.cumsum(reps) - reps
-        out = np.empty(int(starts[-1]) + int(reps[-1]), dtype=np.uint8)
-        out[starts] = arr          # bulk copy, then sparse O(k) fix-ups
         mi = np.flatnonzero(mask)
+        if not len(mi):
+            continue
+        # np.repeat does the variable-length expansion in one C pass; a
+        # match at input index mi[j] lands at output index mi[j] + j
+        # (each earlier match adds exactly one slot) — no cumsum, no
+        # full-array scatter
+        out = np.repeat(arr, mask.astype(np.int8) + 1)
+        pos = mi + np.arange(len(mi))
         am = arr[mi]
-        out[starts[mi]] = left_lut[am]
-        out[starts[mi] + 1] = right_lut[am]
+        out[pos] = left_lut[am]
+        out[pos + 1] = right_lut[am]
         arr = out
     return arr
 
