@@ -4,7 +4,7 @@
                  sf0.001, returning per-lang bit-identity counts.
 ``queries``    — one entry per implemented operator (SURVEY.md §2.2 plus
                  the training-data ops); each takes (spark, sf_dir).
-``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents (53 of 55 queries,
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents (54 of 56 queries,
                  including the full MinHash/LSH/IVF/winnowing pipelines via
                  portable hashing, pinned-constant oracles for the
                  deterministic engine metrics/corpus summary, and a
@@ -343,6 +343,18 @@ def q_unpivot_region(spark, sf_dir):
     r = _T(spark, sf_dir, "region")
     return r.unpivot(
         ["r_regionkey"], ["r_name"], "attr", "val"
+    )
+
+
+def q_csv_row_text_events(spark, sf_dir):
+    """R1 row serialization through the driver gate: format_table's full
+    ROW_TEXT delimiter-join (ParquetToCsv row rendering) over the
+    SQL-expressible columns of events — int cast, F3 timestamps with
+    sentinel/trim rules, F1 quoting, F6 null text, P2 uppercased names."""
+    ev = _T(spark, sf_dir, "events").select("event_id", "ts", "event_type", "props")
+    out = fmt.format_table(ev)
+    return out.select(
+        F.col("EVENT_ID").cast("long").alias("event_id"), "ROW_TEXT"
     )
 
 
@@ -693,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_uppercase_region": q_scan_uppercase_region,
         "csv_format_strings": q_csv_format_strings,
         "csv_format_timestamps": q_csv_format_timestamps,
+        "csv_row_text_events": q_csv_row_text_events,
         "csv_format_floats": q_csv_format_floats,
         "csv_format_floats_short": q_csv_format_floats_short,
         "csv_format_uuid_decimal": q_csv_format_uuid_decimal,
@@ -978,6 +991,23 @@ def oracle_sql() -> dict[str, str]:
                         WHEN epoch_us(ts) % 60000000 <> 0
                           THEN '''' || strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z'''
                         ELSE '''' || strftime(ts, '%Y-%m-%dT%H:%M') || 'Z''' END AS ts_fmt
+            FROM events
+        """,
+        "csv_row_text_events": """
+            SELECT event_id,
+                   concat_ws(',',
+                     COALESCE(CAST(event_id AS VARCHAR), 'null'),
+                     CASE WHEN ts IS NULL THEN 'null'
+                        WHEN epoch_us(ts) % 1000 <> 0
+                          THEN '''' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z'''
+                        WHEN epoch_us(ts) % 1000000 <> 0
+                          THEN '''' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z'''
+                        WHEN epoch_us(ts) % 60000000 <> 0
+                          THEN '''' || strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z'''
+                        ELSE '''' || strftime(ts, '%Y-%m-%dT%H:%M') || 'Z''' END,
+                     CASE WHEN event_type IS NULL THEN 'null' ELSE '''' || event_type || '''' END,
+                     CASE WHEN props IS NULL THEN 'null' ELSE '''' || props || '''' END
+                   ) AS "ROW_TEXT"
             FROM events
         """,
         "csv_format_uuid_decimal": _uuid_decimal_oracle(),
