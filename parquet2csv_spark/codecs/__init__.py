@@ -20,6 +20,7 @@ table, e.g. ``dict:fsst+z``):
 
     ints   : plain | for | rle | delta (first + FOR-packed neighbor deltas)
     floats : plain | alp (decimal-scaled ints + verbatim exceptions)
+    decimal: plain | decint:<int spec> (int64-fitting decimal128 via ints)
     bools  : plain (1-bit packed)
     strings: plain | fsst | dict:<values spec> | rledict:<values spec>
     suffix : +z  — zlib-wrap the codec body (transport layer, as Parquet
@@ -54,6 +55,7 @@ T_LIST = 11
 T_PLAIN_DEC = 12
 T_ALP = 13
 T_DELTA = 14
+T_DEC_INT = 15
 
 _U32 = struct.Struct("<I")
 _ZLIB_LEVEL = 6
@@ -225,7 +227,23 @@ def encode_array(arr: pa.Array, spec: str,
         else:
             tag, body = T_PLAIN_FLOAT, vec.floats_to_bytes(arr)
     elif kind == vec.KIND_DECIMAL:
-        tag, body = T_PLAIN_DEC, vec.decimals_to_bytes(arr)
+        if base_spec.startswith("decint"):
+            # decimal128 values that all fit int64 (the reference's CDC
+            # decimal(30,0) SOURCE_SCN sequence is the parity case) ride
+            # the int codec suite: 16B/value raw becomes delta/FOR-packed.
+            # The frame TAG is authoritative at decode, so the not-all-fit
+            # fallback to plain is safe even mid-spec.
+            raw = np.frombuffer(vec.decimals_to_bytes(arr), dtype=np.uint64)
+            lo, hi = raw[0::2], raw[1::2].view(np.int64)
+            fits = (hi == -(lo >> np.uint64(63)).astype(np.int64)).all()
+            if fits:
+                sub = base_spec.split(":", 1)[1] if ":" in base_spec else "for"
+                itag, ibody = _enc_int(lo.view(np.int64), sub)
+                tag, body = T_DEC_INT, bytes((itag,)) + ibody
+            else:
+                tag, body = T_PLAIN_DEC, vec.decimals_to_bytes(arr)
+        else:
+            tag, body = T_PLAIN_DEC, vec.decimals_to_bytes(arr)
     else:  # strings
         fill = b"" if pa.types.is_binary(typ) or pa.types.is_large_binary(typ) else ""
         filled = arr.fill_null(fill) if arr.null_count else arr
@@ -299,6 +317,15 @@ def decode_array(frame: bytes | memoryview) -> pa.Array:
         return pa.array(vals, type=typ, mask=mask)
     if tag == T_PLAIN_DEC:
         return vec.decimals_from_bytes(body, typ, n, valid)
+    if tag == T_DEC_INT:
+        ints = _dec_int(body[0], bytes(body[1:]), n)
+        pairs = np.empty(2 * n, dtype=np.uint64)
+        pairs[0::2] = ints.view(np.uint64)
+        # hi half = sign extension of the int64 value
+        pairs[1::2] = np.where(
+            ints < 0, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(0)
+        )
+        return vec.decimals_from_bytes(pairs.tobytes(), typ, n, valid)
     if tag == T_PLAIN_STR:
         lengths, blob = _dec_plain_str(body, n)
         return vec.strings_from_parts(lengths, blob, typ, valid)

@@ -185,6 +185,33 @@ def choose(arr: pa.Array, stats: ColumnStats | None = None, profile: str | None 
             return "alp"  # encode_best's generic +z trial still applies
         return "plain+z"
     if st.kind == vec.KIND_DECIMAL:
+        # int64-fitting decimals (reference CDC decimal(30,0) SOURCE_SCN
+        # sequences) ride the int codec suite via decint; sub-codec chosen
+        # with the same analytic model on the int64 view of a prefix
+        import decimal as _d
+
+        sample = arr.slice(0, min(st.n, 4096))
+        filled = sample.fill_null(_d.Decimal(0)) if sample.null_count else sample
+        raw = np.frombuffer(
+            np.frombuffer(filled.buffers()[1], dtype=np.uint8)[
+                filled.offset * 16 : (filled.offset + len(filled)) * 16
+            ].tobytes(),
+            dtype=np.uint64,
+        )
+        if len(raw):
+            lo, hi = raw[0::2], raw[1::2].view(np.int64)
+            if (hi == -(lo >> np.uint64(63)).astype(np.int64)).all():
+                v = lo.view(np.int64)
+                vr = int(v.max()) - int(v.min())
+                for_sz = foref.encoded_size(st.n, vr)
+                if len(v) > 1:
+                    d = (lo[1:] - lo[:-1]).view(np.int64)
+                    dr = int(d.max()) - int(d.min())
+                    delta_sz = 8 + foref.encoded_size(st.n - 1, dr)
+                else:
+                    delta_sz = for_sz + 1
+                if min(for_sz, delta_sz) < 16 * st.n:
+                    return "decint:delta" if delta_sz < for_sz else "decint:for"
         # deflate trial decided at encode time via the +z fallback below
         return "plain+z"
     # very low cardinality: dict/RLE by construction (north_star: RLE/dict

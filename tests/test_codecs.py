@@ -307,3 +307,27 @@ def test_delta_empty_and_single():
         arr = pa.array(vals, type=pa.int64())
         frame = encode_array(arr, "delta")
         assert decode_array(frame).to_pylist() == vals
+
+
+def test_decint_sequential_scn_roundtrip():
+    # the reference CDC case: decimal(30,0) SOURCE_SCN, sequential — must
+    # take the decint path and collapse to near-nothing
+    from decimal import Decimal
+
+    vals = [Decimal(10_000_000_000 + i) for i in range(5000)] + [None]
+    arr = pa.array(vals, type=pa.decimal128(30, 0))
+    spec, frame = selector.encode_best(arr)
+    assert spec.startswith("decint"), spec
+    assert decode_array(frame).equals(arr)
+    assert len(frame) < 0.05 * 16 * len(vals)
+
+
+def test_decint_negative_and_fallback():
+    from decimal import Decimal
+
+    neg = pa.array([Decimal(-5), Decimal(7), Decimal(-(2**62))], type=pa.decimal128(30, 0))
+    assert decode_array(encode_array(neg, "decint:for")).equals(neg)
+    # values beyond int64: encode falls back to plain INSIDE the frame
+    # (tag is authoritative), round-trip still exact
+    big = pa.array([Decimal(10) ** 25, Decimal(-(10 ** 25))], type=pa.decimal128(30, 0))
+    assert decode_array(encode_array(big, "decint:for")).equals(big)
