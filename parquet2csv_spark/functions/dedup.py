@@ -81,14 +81,23 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, bands: int = 8, rows_per_band: int = 4
+    sig_df: DataFrame, bands: int = 8, rows_per_band: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Banding: hash each band of the signature, equi-join per band bucket.
     Returns distinct (key_a, key_b) with key_a < key_b.
 
     The band bucket is md5 of the comma-joined band values — deterministic
     AND portable (DuckDB computes the identical bucket, so the whole
-    pipeline is oracle-checkable end to end)."""
+    pipeline is oracle-checkable end to end).
+
+    ``bucket_cap``: drop band buckets holding more than this many keys
+    BEFORE the self-join (standard LSH hygiene). One degenerate bucket —
+    e.g. thousands of near-identical boilerplate docs all hashing to the
+    same band value — otherwise produces cap-free |bucket|² candidate
+    pairs and a quadratic skewed join task; such buckets carry almost no
+    discriminative signal anyway (everything matches everything). With
+    ``None`` (default) behavior is exact — the sf0.01 oracle path."""
     band_exprs = ", ".join(
         "md5(concat_ws(',', "
         + ", ".join(f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band))
@@ -99,6 +108,14 @@ def lsh_candidate_pairs(
         "key",
         F.posexplode(F.expr(f"array({band_exprs})")).alias("band", "bucket"),
     )
+    if bucket_cap is not None:
+        keep = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= bucket_cap)
+            .select("band", "bucket")
+        )
+        banded = banded.join(keep, ["band", "bucket"], "left_semi")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -116,12 +133,15 @@ def lsh_candidate_pairs(
 def minhash_near_dups(
     df: DataFrame, key_col: str, text_col: str = "text",
     n: int = 3, num_perm: int = 32, bands: int = 8,
-    threshold: float = 0.7,
+    threshold: float = 0.7, bucket_cap: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact-Jaccard
-    verification of candidates only. Returns (key_a, key_b, jaccard)."""
+    verification of candidates only. Returns (key_a, key_b, jaccard).
+
+    ``bucket_cap``: see :func:`lsh_candidate_pairs` — the 100-TB safety
+    valve against a degenerate band bucket going quadratic."""
     sigs = minhash_signatures(df, key_col, text_col, n, num_perm)
-    cands = lsh_candidate_pairs(sigs, bands, num_perm // bands)
+    cands = lsh_candidate_pairs(sigs, bands, num_perm // bands, bucket_cap)
     sh = shingles(df, key_col, text_col, n)
     return ngram_jaccard_on_pairs(cands, sh, threshold)
 

@@ -531,3 +531,26 @@ def test_multimodal_injected_decoders(spark):
     got = {(r["media_id"], r["frame_no"]): r["frame"] for r in fr}
     assert got[(1, 0)] == b"\x01\x02" and got[(1, 1)] == b"\x03\x04"
     assert (2, 0) not in got and len([k for k in got if k[0] == 3]) == 5
+
+
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """A degenerate corpus (many near-identical docs) floods one band
+    bucket; bucket_cap drops it BEFORE the self-join so candidates stay
+    bounded, while discriminative (small) buckets still produce their
+    pairs. Uncapped behavior stays exact."""
+    from parquet2csv_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures
+
+    # 40 identical docs (one hot bucket) + 2 genuinely-similar docs
+    rows = [(i, "the same boilerplate text repeated " * 4) for i in range(40)]
+    rows += [(100, "a unique document about spark encoders xyz"),
+             (101, "a unique document about spark encoders xyzq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", n=4, num_perm=32)
+
+    uncapped = lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
+    capped = lsh_candidate_pairs(sigs, bands=8, rows_per_band=4, bucket_cap=10)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un >= 40 * 39 // 2  # the hot bucket went quadratic
+    assert n_cap < n_un / 10     # cap killed the degenerate bucket...
+    pairs = {(r["key_a"], r["key_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs   # ...but kept the discriminative one
