@@ -325,10 +325,17 @@ def embedding_near_dups(
     round_digits: int = 4,
     target_miss: float = 1e-9,
     seed: int = 42,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH band equi-join
     generates candidates, exact cosine verifies them. Never a cartesian —
     the candidate join is an equi-join on (band, bucket), shuffled by key.
+
+    ``bucket_cap``: drop band buckets larger than this before the
+    self-join (same safety valve as dedup.lsh_candidate_pairs) — a
+    corpus with thousands of byte-identical embeddings floods one bucket
+    and that single join task goes |bucket|² quadratic. ``None`` keeps
+    the exact oracle-checked behavior.
 
     The band plan is sized from (threshold, target_miss) so a qualifying
     pair is missed with probability ≤ target_miss: over C(N,2) test-scale
@@ -343,6 +350,14 @@ def embedding_near_dups(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), sig(F.col(vec_col)).alias("_sig")
     )
     banded = v.select("_id", F.posexplode("_sig").alias("band", "bucket"))
+    if bucket_cap is not None:
+        keep = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= bucket_cap)
+            .select("band", "bucket")
+        )
+        banded = banded.join(keep, ["band", "bucket"], "left_semi")
     cand = (
         banded.alias("x")
         .join(

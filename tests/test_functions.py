@@ -554,3 +554,17 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
     assert n_cap < n_un / 10     # cap killed the degenerate bucket...
     pairs = {(r["key_a"], r["key_b"]) for r in capped.collect()}
     assert (100, 101) in pairs   # ...but kept the discriminative one
+
+
+def test_embedding_near_dups_bucket_cap(spark):
+    # identical embeddings flood one bucket; the cap drops it while a
+    # distinct near-dup pair in a small bucket still surfaces
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]
+    rows += [(100, [0.0, 1.0, 0.0, 0.001]), (101, [0.0, 1.0, 0.0, 0.002])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    uncapped = sim.embedding_near_dups(df, 0.99)
+    capped = sim.embedding_near_dups(df, 0.99, bucket_cap=10)
+    n_un, got = uncapped.count(), capped.collect()
+    assert n_un >= 30 * 29 // 2
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (100, 101) in pairs and len(pairs) < n_un / 10
