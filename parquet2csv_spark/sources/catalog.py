@@ -33,6 +33,16 @@ class Snapshot:
 def _manifest(path: str) -> tuple[str, int, int, dict[str, tuple[int, int]]]:
     files: dict[str, tuple[int, int]] = {}
     total = 0
+    if os.path.isfile(path):
+        # single-file table (e.g. the driver CLI pointed at one parquet
+        # file): a one-entry manifest keyed by "." — os.walk on a file
+        # yields nothing and would produce the empty-manifest error
+        st = os.stat(path)
+        files["."] = (st.st_size, st.st_mtime_ns)
+        digest = hashlib.sha256(
+            f".:{st.st_size}:{st.st_mtime_ns}".encode()
+        ).hexdigest()[:16]
+        return digest, 1, st.st_size, files
     for root, _dirs, names in os.walk(path):
         for f in sorted(names):
             if f.startswith(("_", ".")):
@@ -73,7 +83,7 @@ class ParquetDirCatalog:
             return self.spark.read.parquet(snap.table_path)
         if verify:
             for rel, (size, mtime) in snap.files.items():
-                fp = os.path.join(snap.table_path, rel)
+                fp = snap.table_path if rel == "." else os.path.join(snap.table_path, rel)
                 try:
                     st = os.stat(fp)
                 except FileNotFoundError:
@@ -85,18 +95,20 @@ class ParquetDirCatalog:
                         f"snapshot {snap.snapshot_id}: pinned file {rel} was mutated"
                     )
         data = [
-            os.path.join(snap.table_path, rel)
+            snap.table_path if rel == "." else os.path.join(snap.table_path, rel)
             for rel in snap.files
-            if rel.endswith(".parquet")
+            if rel == "." or rel.endswith(".parquet")
         ]
         if not data:
             raise RuntimeError(
                 f"snapshot {snap.snapshot_id}: manifest for {snap.table_path} "
                 f"contains no .parquet data files — nothing to read"
             )
-        return (
-            self.spark.read.option("basePath", snap.table_path).parquet(*data)
-        )
+        reader = self.spark.read
+        if not os.path.isfile(snap.table_path):
+            # basePath must be a directory; a single-file table needs none
+            reader = reader.option("basePath", snap.table_path)
+        return reader.parquet(*data)
 
 
 class IcebergCatalog:

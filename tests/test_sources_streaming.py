@@ -354,3 +354,17 @@ def test_session_window_exact_gap_merges(spark, tmp_path):
     ).write.parquet(p)
     out = sorted(r["n"] for r in session_windowed_counts(spark, p, gap="30 minutes").collect())
     assert out == [1, 2]
+
+
+def test_catalog_single_file_snapshot(spark, tmp_path):
+    # the driver CLI points at ONE parquet file: the manifest pins it
+    # (keyed "."), reads work without basePath, and mutation still trips
+    d = str(tmp_path / "single")
+    spark.range(7).coalesce(1).write.parquet(d)
+    fp = os.path.join(d, next(f for f in os.listdir(d) if f.endswith(".parquet")))
+    cat = ParquetDirCatalog(spark)
+    snap = cat.snapshot(fp)
+    assert snap.n_files == 1 and cat.read(snap).count() == 7
+    os.utime(fp, ns=(snap.files["."][1] + 1, snap.files["."][1] + 1))
+    with pytest.raises(RuntimeError, match="mutated"):
+        cat.read(snap)
