@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -91,12 +92,32 @@ def main(argv: list[str] | None = None) -> int:
             f.write(json.dumps(df.schema.jsonValue()))
         print(json.dumps({"snapshot_id": snap.snapshot_id, **summary}))
     elif args.cmd == "decode":
+        from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
         from parquet2csv_spark.operators import decode_table
 
         schema = StructType.fromJson(json.load(open(args.schema_json)))
-        chunks = spark.read.parquet(args.chunks)
+        # accept either a raw chunks dir or an EncodeJob out_dir (whose
+        # layout is <out>/chunks/run=*/ + <out>/lineage/): in the latter
+        # case decode ONLY lineage-committed chunks, so orphans from a
+        # crashed-then-resumed run don't decode as duplicate rows
+        job_chunks = os.path.join(args.chunks, "chunks")
+        if os.path.isdir(job_chunks):
+            lineage = spark.read.option("mergeSchema", True).parquet(
+                os.path.join(args.chunks, "lineage")
+            )
+            done = (
+                lineage.filter(F.col("status") == "done")
+                .select("group_key").distinct()
+            )
+            chunks = (
+                spark.read.parquet(job_chunks)
+                .join(F.broadcast(done), on="group_key", how="left_semi")
+                .dropDuplicates(["chunk_id"])
+            )
+        else:
+            chunks = spark.read.parquet(args.chunks)
         decode_table(chunks, schema).write.mode("overwrite").parquet(args.out)
         print(json.dumps({"decoded_to": args.out}))
     elif args.cmd == "verify":
