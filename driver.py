@@ -68,7 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
+    """``stop_session=False`` leaves the SparkSession running — for
+    in-process callers (tests) sharing one session across commands."""
     args = build_parser().parse_args(argv)
     from parquet2csv_spark.session import get_spark
 
@@ -172,7 +174,8 @@ def main(argv: list[str] | None = None) -> int:
         schema = spark.read.parquet(args.input).schema
         write_one_row_schema_file(spark, schema, args.out)
         print(json.dumps({"one_row_schema_file": args.out}))
-    spark.stop()
+    if stop_session:
+        spark.stop()
     return 0
 
 

@@ -1,0 +1,71 @@
+"""End-to-end CLI tests: the four reference entry points plus
+encode/decode/verify, driven through driver.main() in-process (D1
+dispatch — DataLoad.java:256-304 analog)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import driver  # noqa: E402
+
+from parquet2csv_spark.operators import multiset_diff  # noqa: E402
+
+
+def test_cli_encode_decode_verify_roundtrip(spark, tmp_path, capsys):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"repo{i % 3}", f"path/{i}.py", f"c{i:06d}", f"text body {i}") for i in range(200)],
+        "id long, repo string, path string, commit string, content string",
+    ).write.parquet(src)
+    out = str(tmp_path / "enc")
+
+    assert driver.main(stop_session=False, argv=["--cpus", "4", "encode", "--input", src, "--out", out,
+                        "--group-cols", "repo", "--order-cols", "path,commit"]) in (0, None)
+    enc_line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert enc_line["rows"] == 200
+
+    assert driver.main(stop_session=False, argv=["--cpus", "4", "verify", "--input", src, "--chunks", out]) == 0
+    ver_line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ver_line["bit_identical"] is True
+
+    # decode accepts the job out_dir (chunks/run=*/ + lineage/ layout)
+    dec = str(tmp_path / "dec")
+    assert driver.main(stop_session=False, argv=["--cpus", "4", "decode", "--chunks", out,
+                        "--schema-json", f"{out}/schema.json", "--out", dec]) in (0, None)
+    back = spark.read.parquet(dec)
+    srcdf = spark.read.parquet(src)
+    assert multiset_diff(srcdf, back).count() == 0
+
+
+def test_cli_csv_and_schema_entry_points(spark, tmp_path, capsys):
+    src = str(tmp_path / "t")
+    spark.createDataFrame([(1, "alpha"), (2, None)], "id long, name string").write.parquet(src)
+
+    csv_out = str(tmp_path / "csv_out")
+    assert driver.main(stop_session=False, argv=["--cpus", "4", "csv", "--input", src, "--out", csv_out]) in (0, None)
+    capsys.readouterr()
+    text = "".join(
+        open(os.path.join(csv_out, f)).read()
+        for f in os.listdir(csv_out) if f.endswith(".csv")
+    )
+    assert "ID,NAME" in text and "'alpha'" in text and "null" in text
+
+    sj = str(tmp_path / "schema.json")
+    assert driver.main(stop_session=False, argv=["--cpus", "4", "to-json", "--input", src, "--out", sj]) in (0, None)
+    capsys.readouterr()
+    schema = json.load(open(sj))
+    assert [f["name"] for f in schema["fields"]] == ["id", "name"]
+
+    fp = str(tmp_path / "footer_only")
+    assert driver.main(stop_session=False, argv=["--cpus", "4", "from-json", "--input", sj, "--out", fp]) in (0, None)
+    capsys.readouterr()
+    assert spark.read.parquet(fp).count() == 0
+
+    orow = str(tmp_path / "one_row")
+    assert driver.main(stop_session=False, argv=["--cpus", "4", "one-row-schema", "--input", src, "--out", orow]) in (0, None)
+    capsys.readouterr()
+    assert spark.read.parquet(orow).count() == 1
