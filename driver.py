@@ -44,6 +44,14 @@ def build_parser() -> argparse.ArgumentParser:
     dec.add_argument("--chunks", required=True)
     dec.add_argument("--schema-json", required=True)
     dec.add_argument("--out", required=True)
+    dec.add_argument(
+        "--snapshot-id", default=None,
+        help="pin the committed generation to decode (default: latest)",
+    )
+    dec.add_argument(
+        "--decode-job-id", default=None,
+        help="pin the encode job_id to decode (default: latest)",
+    )
 
     ver = sub.add_parser("verify", help="bit-identity check: chunks vs source")
     ver.add_argument("--input", required=True)
@@ -102,26 +110,50 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         schema = StructType.fromJson(json.load(open(args.schema_json)))
         # accept either a raw chunks dir or an EncodeJob out_dir (whose
         # layout is <out>/chunks/run=*/ + <out>/lineage/): in the latter
-        # case decode ONLY lineage-committed chunks, so orphans from a
-        # crashed-then-resumed run don't decode as duplicate rows
+        # case decode ONLY lineage-committed chunks of ONE (snapshot_id,
+        # job_id) generation. An out_dir can legitimately hold several
+        # committed generations (several snapshots or jobs); grouped chunk
+        # ids are positional (group_key:seq, not content-addressed), so
+        # mixing generations that share group keys would splice chunks from
+        # different encodes into one decode. Default: the generation with
+        # the latest committed_at; pin explicitly with --snapshot-id /
+        # --decode-job-id.
         job_chunks = os.path.join(args.chunks, "chunks")
         if os.path.isdir(job_chunks):
+            from parquet2csv_spark.plans.lineage import EncodeJob
+
             lineage = spark.read.option("mergeSchema", True).parquet(
                 os.path.join(args.chunks, "lineage")
             )
-            done = (
-                lineage.filter(F.col("status") == "done")
-                .select("group_key").distinct()
+            done = lineage.filter(F.col("status") == "done")
+            if args.snapshot_id:
+                done = done.filter(F.col("snapshot_id") == args.snapshot_id)
+            if args.decode_job_id:
+                done = done.filter(F.col("job_id") == args.decode_job_id)
+            latest = (
+                done.orderBy(F.col("committed_at").desc())
+                .select("snapshot_id", "job_id")
+                .first()
             )
-            chunks = (
-                spark.read.parquet(job_chunks)
-                .join(F.broadcast(done), on="group_key", how="left_semi")
-                .dropDuplicates(["chunk_id"])
+            if latest is None:
+                print(json.dumps({
+                    "error": "no committed lineage matches the requested "
+                             "snapshot-id/job-id in this out_dir",
+                    "snapshot_id": args.snapshot_id,
+                    "job_id": args.decode_job_id,
+                }))
+                return 3
+            job = EncodeJob(
+                spark, args.chunks,
+                snapshot_id=latest["snapshot_id"], job_id=latest["job_id"],
             )
+            chunks = job.chunks()
+            picked = {"snapshot_id": latest["snapshot_id"], "job_id": latest["job_id"]}
         else:
             chunks = spark.read.parquet(args.chunks)
+            picked = {}
         decode_table(chunks, schema).write.mode("overwrite").parquet(args.out)
-        print(json.dumps({"decoded_to": args.out}))
+        print(json.dumps({"decoded_to": args.out, **picked}))
     elif args.cmd == "verify":
         from parquet2csv_spark.operators import decode_table, multiset_diff
         from parquet2csv_spark.plans.lineage import EncodeJob

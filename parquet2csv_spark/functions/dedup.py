@@ -237,7 +237,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = edges.select(F.col("a").alias("key")).distinct().withColumn("label", F.col("key"))
     converged = False
     prev = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nb = (
             edges.join(labels, edges.b == labels.key)
             .groupBy("a")
@@ -249,8 +249,17 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 labels["key"],
                 F.least(labels["label"], F.coalesce(nb["nb_min"], labels["label"])).alias("label"),
             )
-            .cache()
         )
+        if (it + 1) % 5 == 0:
+            # truncate the logical plan: without this every round's join
+            # stays chained in the lineage, so deep components (diameter >
+            # ~15) spend more time in Catalyst analysis than in execution,
+            # and a lost cached block would recompute the entire chain.
+            # localCheckpoint materializes the ~(key,label) rows and cuts
+            # the plan; eager=True also serves as this round's cache.
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.key") == F.col("o.key"))

@@ -66,16 +66,65 @@ def _arrow_schema_for(spark_schema: StructType) -> pa.Schema:
     return to_arrow_schema(spark_schema)
 
 
+# types with exact int64 zone maps; date/timestamp columns also carry
+# int64 stats (epoch units) but are left row-filter-only here so callers
+# pass natural Python values, not raw epoch integers
+_INT_TYPES = {"byte", "tinyint", "short", "smallint", "int", "integer",
+              "long", "bigint"}
+
+
+def _apply_filters(chunks_df: DataFrame, schema: StructType, filters) -> DataFrame:
+    """Route simple predicates through the zone maps before decode.
+
+    ``filters`` is parquet-reader style: an iterable of ``(col, op, value)``
+    with op in ``>= > <= < ==``. Each predicate prunes chunks via the
+    matching zone-map stats (conservative: chunks without stats survive);
+    the same predicate is re-applied row-exactly on the decoded output by
+    :func:`decode_table`, so pruning only changes WHAT IS SCANNED, never
+    the result.
+    """
+    for col, op, val in filters:
+        field = next((f for f in schema.fields if f.name == col), None)
+        if field is None:
+            raise ValueError(f"filter column {col!r} not in decode schema")
+        simple = field.dataType.simpleString()
+        is_int = simple in _INT_TYPES
+        is_str = simple == "string"
+        if not (is_int or is_str):
+            continue  # no zone maps for this type — row filter still applies
+        prune = prune_chunks_long if is_int else prune_chunks_str
+        if op in (">=", ">"):
+            chunks_df = prune(chunks_df, col, lo=val)
+        elif op in ("<=", "<"):
+            chunks_df = prune(chunks_df, col, hi=val)
+        elif op == "==":
+            chunks_df = prune(chunks_df, col, lo=val, hi=val)
+        else:
+            raise ValueError(f"unsupported filter op {op!r}")
+    return chunks_df
+
+
 def decode_table(
     chunks_df: DataFrame,
     schema: StructType | str,
     with_position: bool = False,
+    filters=None,
 ) -> DataFrame:
-    """Reconstruct the original table from its encoded chunks."""
+    """Reconstruct the original table from its encoded chunks.
+
+    ``filters`` — optional parquet-reader-style predicates
+    ``[(col, op, value), ...]`` with op in ``>= > <= < ==``. Exact row
+    semantics (the predicate is applied to the decoded rows), but chunks
+    whose zone maps prove no row can match are pruned BEFORE the Arrow
+    decode — a selective decode touches only matching chunks' frames
+    (the engine's partition-pruning analog; VERDICT r3 #6).
+    """
     if isinstance(schema, str):
         from pyspark.sql.types import _parse_datatype_string
 
         schema = _parse_datatype_string(schema)
+    if filters:
+        chunks_df = _apply_filters(chunks_df, schema, filters)
     out_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
     if with_position:
         out_ddl += ", " + POSITION_COLS_DDL
@@ -118,4 +167,15 @@ def decode_table(
                     out_names += ["_group_key", "_seq", "_row_offset"]
                 yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
-    return chunks_df.mapInArrow(dec, out_ddl)
+    out = chunks_df.mapInArrow(dec, out_ddl)
+    if filters:
+        from pyspark.sql import functions as F
+
+        ops = {
+            ">=": lambda c, v: c >= v, ">": lambda c, v: c > v,
+            "<=": lambda c, v: c <= v, "<": lambda c, v: c < v,
+            "==": lambda c, v: c == v,
+        }
+        for col, op, val in filters:
+            out = out.filter(ops[op](F.col(col), F.lit(val)))
+    return out

@@ -327,8 +327,14 @@ def encode_salted(
     # exchange + ONE sort, plan-verified) and hands every group to Python
     # already ordered, removing the per-group sort_indices + take (a full
     # extra copy of each group) from the Arrow path
+    # null ordering pinned explicitly (asc_nulls_last): Spark's default is
+    # NULLS FIRST, but the engine's chunk-content convention is nulls-last
+    # (the pyarrow sort_indices default the grouped encode originally used)
+    # — chunk ids are positional (gk:seq), so the row order IS part of the
+    # determinism contract, and EncodeJob folds this convention into its
+    # params string (ord=nl) so mixed-convention resumes are refused.
     salted = salted.repartition(num_partitions, "_gk").sortWithinPartitions(
-        "_gk", *order_cols
+        F.col("_gk").asc(), *[F.col(c).asc_nulls_last() for c in order_cols]
     )
     data_cols = [c for c in salted.columns if c != "_gk"]
 

@@ -80,9 +80,15 @@ class EncodeJob:
         # group keys, so resuming with changed params would re-encode
         # everything under NEW keys while chunks() still returns the OLD
         # committed groups too — duplicate rows. run() refuses the mismatch.
+        # ord=nl records the within-group null-ordering convention
+        # (asc_nulls_last, matching the r2-era pyarrow sort_indices default).
+        # r3 briefly shipped Spark's default NULLS FIRST; folding the
+        # convention into params means a resume against an r3-era dir is
+        # refused like any other param mismatch instead of silently
+        # producing differently-ordered chunks under the same gk:seq ids.
         self.params = (
             f"gc={','.join(self.group_cols)};oc={','.join(self.order_cols)};"
-            f"cr={chunk_rows};cb={chunk_bytes};gf={group_factor}"
+            f"cr={chunk_rows};cb={chunk_bytes};gf={group_factor};ord=nl"
         )
 
     # ------------------------------------------------------------ lineage io
@@ -112,6 +118,44 @@ class EncodeJob:
 
     # --------------------------------------------------------------- running
 
+    def _check_digest_migration(self) -> None:
+        """Refuse to resume across a manifest-digest format change.
+
+        The catalog embeds a version in every snapshot id (catalog.py
+        DIGEST_VERSION). When the current id carries the current version but
+        this job_id's lineage holds rows whose ids don't, those rows were
+        committed under an older digest format: the SAME unchanged input now
+        hashes to a DIFFERENT id, so a silent resume would see zero done
+        groups and re-encode every group into this out_dir — a second
+        generation under identical group keys. Fail with a migration message
+        instead. (Hand-assigned snapshot ids skip the check.)
+        """
+        from ..sources.catalog import DIGEST_VERSION
+
+        prefix = f"{DIGEST_VERSION}-"
+        if not self.snapshot_id.startswith(prefix):
+            return
+        stale = (
+            self.lineage()
+            .filter(
+                (F.col("job_id") == self.job_id)
+                & (F.col("status") == "done")
+                & ~F.col("snapshot_id").startswith(prefix)
+            )
+            .select("snapshot_id")
+            .limit(1)
+            .collect()
+        )
+        if stale:
+            raise RuntimeError(
+                f"lineage for job_id={self.job_id!r} contains snapshot ids in a "
+                f"pre-{DIGEST_VERSION} manifest-digest format (e.g. "
+                f"{stale[0]['snapshot_id']!r}); the digest inputs have changed "
+                f"since, so resume state for this out_dir cannot be trusted — "
+                f"encode into a new out_dir (or new job_id), or decode the old "
+                f"generation with the tooling that wrote it"
+            )
+
     def run(self, df: DataFrame, only_groups_like: str | None = None) -> dict:
         """Encode all groups not yet committed. Returns driver-side summary.
 
@@ -122,6 +166,7 @@ class EncodeJob:
         """
         run_id = uuid.uuid4().hex[:12]
         t0 = time.time()
+        self._check_digest_migration()
         prior = self.lineage().filter(
             (F.col("snapshot_id") == self.snapshot_id)
             & (F.col("job_id") == self.job_id)
@@ -216,12 +261,36 @@ class EncodeJob:
     # --------------------------------------------------------------- reading
 
     def chunks(self) -> DataFrame:
-        """Committed chunks only: join against done lineage and drop
-        duplicate chunk ids (orphans from crashed runs are invisible;
-        a group committed twice resolves to one copy)."""
+        """Committed chunks only: join against done lineage and resolve
+        duplicate chunk ids (orphans from crashed runs are invisible; a
+        group with files from several runs — crash after chunk write,
+        before lineage commit, then resumed — resolves to one copy).
+
+        The duplicate resolution deliberately avoids ``dropDuplicates``:
+        that would hash-exchange every chunk row INCLUDING the binary frame
+        payload to handle a normally-empty edge case — at 100 TB of chunks,
+        a full-data shuffle for nothing. Instead the conflict set is
+        computed on a projected ``(chunk_id, run)`` view (the only wide
+        exchange carries ids) and broadcast back as a per-row winner
+        filter; chunk contents are deterministic per (snapshot, params), so
+        any run's copy is valid and ``min(run)`` picks one deterministically.
+        """
         all_chunks = self.spark.read.parquet(f"{self.out_dir}/chunks")
         committed = self.done_groups().withColumnRenamed("_gk", "group_key")
+        visible = all_chunks.join(
+            F.broadcast(committed), on="group_key", how="left_semi"
+        )
+        dup_keep = (
+            visible.select("chunk_id", "run")
+            .groupBy("chunk_id")
+            .agg(F.count("*").alias("_n"), F.min("run").alias("_keep_run"))
+            .filter(F.col("_n") > 1)
+            .select("chunk_id", "_keep_run")
+        )
         return (
-            all_chunks.join(F.broadcast(committed), on="group_key", how="left_semi")
-            .dropDuplicates(["chunk_id"])
+            visible.join(F.broadcast(dup_keep), on="chunk_id", how="left")
+            .filter(
+                F.col("_keep_run").isNull() | (F.col("run") == F.col("_keep_run"))
+            )
+            .drop("_keep_run")
         )

@@ -17,6 +17,16 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Manifest-digest format version, embedded in every snapshot id. Changing
+# what feeds the digest (e.g. the r3 move from whole-second to nanosecond
+# mtimes) silently changes ids for UNCHANGED directories, which would make
+# pre-upgrade lineage rows unreachable: a resume would compute a fresh
+# snapshot_id, find zero done groups, and re-encode everything into the
+# same out_dir — the multi-generation layout the decode path then has to
+# disambiguate. Versioning the id lets EncodeJob.run() detect the format
+# mismatch and refuse with a migration message instead (plans/lineage.py).
+DIGEST_VERSION = "m2"
+
 
 @dataclass
 class Snapshot:
@@ -42,7 +52,7 @@ def _manifest(path: str) -> tuple[str, int, int, dict[str, tuple[int, int]]]:
         digest = hashlib.sha256(
             f".:{st.st_size}:{st.st_mtime_ns}".encode()
         ).hexdigest()[:16]
-        return digest, 1, st.st_size, files
+        return f"{DIGEST_VERSION}-{digest}", 1, st.st_size, files
     for root, _dirs, names in os.walk(path):
         for f in sorted(names):
             if f.startswith(("_", ".")):
@@ -56,7 +66,7 @@ def _manifest(path: str) -> tuple[str, int, int, dict[str, tuple[int, int]]]:
     digest = hashlib.sha256(
         "\n".join(f"{k}:{v[0]}:{v[1]}" for k, v in files.items()).encode()
     ).hexdigest()[:16]
-    return digest, len(files), total, files
+    return f"{DIGEST_VERSION}-{digest}", len(files), total, files
 
 
 class ParquetDirCatalog:

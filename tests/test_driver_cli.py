@@ -69,3 +69,47 @@ def test_cli_csv_and_schema_entry_points(spark, tmp_path, capsys):
     assert driver.main(stop_session=False, argv=["--cpus", "4", "one-row-schema", "--input", src, "--out", orow]) in (0, None)
     capsys.readouterr()
     assert spark.read.parquet(orow).count() == 1
+
+
+def test_cli_decode_pins_one_generation(spark, tmp_path, capsys):
+    """ADVICE r3 (medium): an out_dir holding TWO committed generations
+    (same data, different job_ids and chunking) must never be spliced —
+    grouped chunk ids are positional (group_key:seq), so mixing generations
+    with different chunk counts would duplicate/lose rows. Decode defaults
+    to the latest committed_at generation; --decode-job-id pins one."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"r{i % 2}", f"p/{i:03d}", f"c{i:03d}", f"body {i}") for i in range(120)],
+        "id long, repo string, path string, commit string, content string",
+    ).write.parquet(src)
+    out = str(tmp_path / "enc")
+    base = ["--cpus", "4", "encode", "--input", src, "--out", out,
+            "--group-cols", "repo", "--order-cols", "path,commit"]
+    # generation j1: many small chunks; generation j2: one chunk per group
+    assert driver.main(stop_session=False, argv=base + ["--job-id", "j1", "--chunk-rows", "16"]) in (0, None)
+    assert driver.main(stop_session=False, argv=base + ["--job-id", "j2", "--chunk-rows", "4096"]) in (0, None)
+    capsys.readouterr()
+
+    srcdf = spark.read.parquet(src)
+    dec = str(tmp_path / "dec")
+    assert driver.main(stop_session=False, argv=["--cpus", "4", "decode", "--chunks", out,
+                        "--schema-json", f"{out}/schema.json", "--out", dec]) in (0, None)
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["job_id"] in ("j1", "j2")  # ONE generation, reported
+    assert multiset_diff(srcdf, spark.read.parquet(dec)).count() == 0
+
+    # pin each generation explicitly — both decode exactly
+    for jid in ("j1", "j2"):
+        d = str(tmp_path / f"dec_{jid}")
+        assert driver.main(stop_session=False, argv=["--cpus", "4", "decode", "--chunks", out,
+                            "--schema-json", f"{out}/schema.json", "--out", d,
+                            "--decode-job-id", jid]) in (0, None)
+        line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert line["job_id"] == jid
+        assert multiset_diff(srcdf, spark.read.parquet(d)).count() == 0
+
+    # a generation that doesn't exist is a loud usage error, not empty output
+    assert driver.main(stop_session=False, argv=["--cpus", "4", "decode", "--chunks", out,
+                        "--schema-json", f"{out}/schema.json", "--out", str(tmp_path / "nope"),
+                        "--decode-job-id", "missing"]) == 3
+    capsys.readouterr()

@@ -187,3 +187,52 @@ def test_zone_map_pruning_and_projection_pushdown(spark):
     assert proj.count() == li.count()
     chunks.unpersist()
     dchunks.unpersist()
+
+
+def test_decode_table_filters_prune_chunks_and_match_rows(spark):
+    """VERDICT r3 #6: decode_table(filters=...) routes simple predicates
+    through the zone maps — fewer chunks are scanned — while row semantics
+    stay exact (prune is conservative; the predicate is re-applied on the
+    decoded rows)."""
+    from parquet2csv_spark.operators.decode import _apply_filters
+
+    ddl = "doc_id bigint, text string"
+    df = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(4000)], ddl
+    )
+    chunks = encode_table(df, chunk_rows=500)
+    chunks.cache()
+    try:
+        n_all = chunks.count()
+        filters = [("doc_id", ">=", 3500)]
+        from pyspark.sql.types import _parse_datatype_string
+
+        n_kept = _apply_filters(chunks, _parse_datatype_string(ddl), filters).count()
+        assert n_kept < n_all  # pruning actually dropped chunks
+        got = decode_table(chunks, ddl, filters=filters)
+        want = decode_table(chunks, ddl).filter(F.col("doc_id") >= 3500)
+        assert multiset_diff(want, got).count() == 0
+        assert got.count() == 500
+        # string zone maps route too
+        got_s = decode_table(chunks, ddl, filters=[("text", "==", "body 7")])
+        assert [r["doc_id"] for r in got_s.collect()] == [7]
+    finally:
+        chunks.unpersist()
+
+
+def test_grouped_encode_null_order_cols_sort_last(spark):
+    """ADVICE r3: the within-group sort pins asc_nulls_last (the pyarrow
+    convention chunk determinism was defined under), not Spark's default
+    NULLS FIRST — chunk ids are positional, so row order is part of the
+    cross-version determinism contract."""
+    ddl = "repo string, path string, v bigint"
+    df = spark.createDataFrame(
+        [("g", None, 1), ("g", "b", 2), ("g", "a", 3), ("g", None, 4)], ddl
+    )
+    chunks = encode_grouped(df, ["repo"], ["path"], chunk_rows=1024)
+    dec = decode_table(chunks, ddl, with_position=True)
+    paths = [
+        r["path"]
+        for r in dec.orderBy("_group_key", "_seq", "_row_offset").collect()
+    ]
+    assert paths == ["a", "b", None, None]

@@ -568,3 +568,20 @@ def test_embedding_near_dups_bucket_cap(spark):
     assert n_un >= 30 * 29 // 2
     pairs = {(r["id_a"], r["id_b"]) for r in got}
     assert (100, 101) in pairs and len(pairs) < n_un / 10
+
+
+def test_dup_clusters_deep_chain_converges(spark):
+    """VERDICT r3 #5: a path graph (diameter ≫ checkpoint interval) needs
+    ~one propagation round per hop; without the periodic localCheckpoint
+    the logical plan chains every prior round's join and Catalyst analysis
+    dominates (or lineage recovery re-executes the whole chain). 32 nodes →
+    ~32 rounds → 6+ checkpoint truncations, converging to one cluster."""
+    from parquet2csv_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(31)],
+        "key_a string, key_b string",
+    )
+    rows = dup_clusters(pairs, max_iter=40).collect()
+    assert len(rows) == 32
+    assert {r["cluster_id"] for r in rows} == {"n000"}

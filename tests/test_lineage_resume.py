@@ -144,3 +144,71 @@ def test_resume_refuses_legacy_lineage_missing_params(spark, corpus, tmp_path_fa
     ok = EncodeJob(spark, out, snapshot_id="sL", chunk_rows=1024, chunk_bytes=1 << 20,
                    legacy_params=again.params)
     ok.run(corpus)
+
+
+def test_chunks_dedupe_never_shuffles_frame_payloads(spark, corpus, tmp_path_factory):
+    """VERDICT r3 #4: resolving double-committed chunk ids must not
+    hash-exchange the binary frame payloads. Every (non-broadcast) Exchange
+    in the chunks() plan may carry only projected id/run columns — never
+    the `cols` struct holding the frames."""
+    import re
+
+    out = str(tmp_path_factory.mktemp("plan_job"))
+    job = EncodeJob(spark, out, snapshot_id="snapP", chunk_rows=1024, chunk_bytes=1 << 20)
+    job.run(corpus)
+    df = job.chunks()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # formatted explain: each operator block starts "(n) <Name>" and lists
+    # its input columns; broadcast exchanges are named BroadcastExchange
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    shuffles = [b for b in blocks if re.match(r"\(\d+\) Exchange\b", b)]
+    for b in shuffles:
+        assert "cols#" not in b, b
+
+
+def test_double_committed_group_resolves_to_single_run(spark, corpus, tmp_path_factory):
+    """A group committed twice (crash between chunk write and lineage
+    append, then resumed) leaves two runs' files carrying the same chunk
+    ids; chunks() must resolve each id to exactly one copy and decode
+    bit-identically."""
+    import os
+    import shutil
+
+    out = str(tmp_path_factory.mktemp("double_job"))
+    job = EncodeJob(spark, out, snapshot_id="snapD", chunk_rows=1024, chunk_bytes=1 << 20)
+    job.run(corpus)
+    chunks_dir = f"{out}/chunks"
+    runs = [d for d in os.listdir(chunks_dir) if d.startswith("run=")]
+    # deterministic encode → a re-committed generation is byte-identical;
+    # simulate it by duplicating the whole run dir under a second run id
+    shutil.copytree(
+        os.path.join(chunks_dir, runs[0]),
+        os.path.join(chunks_dir, "run=zzduplicate0"),
+    )
+    got = job.chunks()
+    per_id = got.groupBy("chunk_id").count().filter("count > 1").count()
+    assert per_id == 0
+    per_run = got.select("run").distinct().count()
+    assert per_run == 1  # one winner run, picked deterministically
+    dec = decode_table(job.chunks(), CORPUS_DDL)
+    assert multiset_diff(corpus, dec).count() == 0
+
+
+def test_digest_format_migration_refused(spark, corpus, tmp_path_factory):
+    """ADVICE r3: lineage committed under an older manifest-digest format
+    must not silently reset resume state (the same unchanged input hashes
+    to a new id → zero done groups → full re-encode into the same out_dir).
+    run() detects the version mismatch and refuses."""
+    out = str(tmp_path_factory.mktemp("digest_job"))
+    old = EncodeJob(spark, out, snapshot_id="0123456789abcdef",  # pre-versioned id
+                    chunk_rows=1024, chunk_bytes=1 << 20)
+    old.run(corpus)
+    new = EncodeJob(spark, out, snapshot_id="m2-0123456789abcdef",
+                    chunk_rows=1024, chunk_bytes=1 << 20)
+    with pytest.raises(RuntimeError, match="manifest-digest"):
+        new.run(corpus)
+    # a fresh job_id under the new format is allowed
+    EncodeJob(spark, out, snapshot_id="m2-0123456789abcdef", job_id="fresh",
+              chunk_rows=1024, chunk_bytes=1 << 20).run(corpus)
