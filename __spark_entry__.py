@@ -716,6 +716,39 @@ def q_multimodal_decode_injected(spark, sf_dir):
     )
 
 
+def q_pack_sequences_documents(spark, sf_dir):
+    """Sequence packing (concat-and-chunk for LLM training): documents
+    packed into 512-token sequences in doc_id order via the distributed
+    two-pass prefix sum (functions/packing.py) — NOT a global single
+    partition window. Oracle: the plain global window cumsum, which is
+    the same function of the total order."""
+    from parquet2csv_spark.functions.packing import pack_sequences
+
+    d = _T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = d.select("doc_id", tx.token_count(F.col("text")).alias("n_tokens"))
+    return pack_sequences(d, "doc_id", "n_tokens", budget=512)
+
+
+def q_repetition_ratio_documents(spark, sf_dir):
+    """Within-document duplicate 4-gram fraction — row-local
+    array_distinct, zero shuffle (the boilerplate/repetition signal)."""
+    d = _T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return tx.repetition_ratio(d, "doc_id", "text", n=4)
+
+
+def q_contamination_documents(spark, sf_dir):
+    """Eval-leakage screen: fraction of each document's distinct 8-grams
+    appearing in a 'benchmark' set (every 41st document) — broadcast
+    shingle-set equi-join, never all-pairs."""
+    d = _T(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("doc_id") < 300)
+    )
+    bench = _T(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("doc_id") % 41 == 0)
+    )
+    return tx.contamination(d, bench, n=8, threshold=0.05)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the driver contract: the correctness harness
     # checks exactly the FIRST 50 entries, so entries rotate so every
@@ -737,7 +770,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_roundtrip": q_corpus_roundtrip,
         "scan_uppercase_region": q_scan_uppercase_region,
         "csv_format_strings": q_csv_format_strings,
-        "csv_format_timestamps": q_csv_format_timestamps,
         "csv_row_text_events": q_csv_row_text_events,
         "csv_format_floats_short": q_csv_format_floats_short,
         "csv_format_uuid_decimal": q_csv_format_uuid_decimal,
@@ -753,9 +785,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bytes": q_multimodal_bytes,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_decode_injected": q_multimodal_decode_injected,
-        "sample_documents_systematic": q_sample_documents_systematic,
+        "pack_sequences_documents": q_pack_sequences_documents,
+        "repetition_ratio_documents": q_repetition_ratio_documents,
+        "contamination_documents": q_contamination_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
-        "token_count_documents": q_token_count_documents,
         "token_count_bpe_documents": q_token_count_bpe_documents,
         "curate_training_documents": q_curate_training_documents,
         "quality_scores_documents": q_quality_scores_documents,
@@ -778,6 +811,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "exact_stats_events": q_exact_stats_events,
         # ---- tail (positions 51+, outside the driver's 50-slot window) ----
+        # stable-green rows rotated out this round (family-mates remain in
+        # the window: csv_row_text_events formats timestamps, token_count_bpe
+        # + token_histogram + curate cover token counting, stratified_sample
+        # covers sampling); all stay pytest- and check_oracles-verified
+        "csv_format_timestamps": q_csv_format_timestamps,
+        "token_count_documents": q_token_count_documents,
+        "sample_documents_systematic": q_sample_documents_systematic,
         "cube_pricing": q_cube_pricing,
         "rollup_pricing": q_rollup_pricing,
         "grouping_sets_pricing": q_grouping_sets_pricing,
@@ -1421,5 +1461,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS f_first,
                    CAST(ascii(substring(text, strlen(text), 1)) AS BIGINT) AS f_last
             FROM documents WHERE strlen(text) > 0
+        """,
+        # the engine computes the prefix sum distributed (two-pass range
+        # partition scheme); the oracle is the same function of the total
+        # order, expressed as the naive global window
+        "pack_sequences_documents": r"""
+            WITH t AS (SELECT doc_id,
+                              CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+                       FROM documents WHERE text IS NOT NULL),
+            c AS (SELECT doc_id, n_tokens,
+                         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+                   CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset
+            FROM c
+        """,
+        "repetition_ratio_documents": """
+            WITH t AS (SELECT doc_id,
+                              CASE WHEN length(text) >= 4
+                                   THEN list_transform(range(1, length(text) - 2),
+                                                       i -> substring(text, CAST(i AS INT), 4))
+                                   ELSE CAST([] AS VARCHAR[]) END AS sh
+                       FROM documents WHERE text IS NOT NULL)
+            SELECT doc_id,
+                   CAST(len(sh) AS BIGINT) AS n_ngrams,
+                   CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+                   CASE WHEN len(sh) > 0
+                        THEN round((len(sh) - len(list_distinct(sh))) / len(sh), 6)
+                        ELSE 0.0 END AS repetition
+            FROM t
+        """,
+        "contamination_documents": """
+            WITH d0 AS (SELECT doc_id, text FROM documents
+                        WHERE text IS NOT NULL AND doc_id < 300 AND length(text) >= 8),
+            b0 AS (SELECT text FROM documents
+                   WHERE text IS NOT NULL AND doc_id % 41 = 0 AND length(text) >= 8),
+            dsh AS (SELECT DISTINCT doc_id AS key, substring(text, CAST(i AS INT), 8) AS sh
+                    FROM (SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i FROM d0)),
+            bsh AS (SELECT DISTINCT substring(text, CAST(i AS INT), 8) AS sh
+                    FROM (SELECT text, unnest(range(1, length(text) - 6)) AS i FROM b0)),
+            sizes AS (SELECT key, count(*) AS n_sh FROM dsh GROUP BY key),
+            hits AS (SELECT key, count(*) AS n_hit FROM dsh JOIN bsh USING (sh) GROUP BY key)
+            SELECT sizes.key AS doc_id,
+                   n_sh AS n_shingles,
+                   coalesce(n_hit, 0) AS n_contaminated,
+                   round(coalesce(n_hit, 0) / n_sh, 6) AS contamination
+            FROM sizes LEFT JOIN hits ON sizes.key = hits.key
+            WHERE round(coalesce(n_hit, 0) / n_sh, 6) >= 0.05
         """,
     }

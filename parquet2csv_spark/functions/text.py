@@ -107,6 +107,72 @@ def fingerprint_md5(df: DataFrame, key_cols: list[str], text_col: str = "text") 
     return df.select(*key_cols, F.md5(F.col(text_col)).alias("fp_md5"))
 
 
+def repetition_ratio(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text", n: int = 4
+) -> DataFrame:
+    """Duplicate n-gram fraction WITHIN each document — the standard
+    boilerplate/repetition quality signal (high ratio → templated or
+    looping text). Computed entirely row-local with ``array_distinct``
+    over the shingle array: no explode, no shuffle — scales at scan
+    speed on any corpus size."""
+    c = F.col(text_col)
+    sh = F.when(F.length(c) >= n, char_ngrams(c, n)).otherwise(
+        F.array().cast("array<string>")
+    )
+    total = F.size(sh)
+    uniq = F.size(F.array_distinct(sh))
+    return df.select(
+        F.col(key_col),
+        total.cast("long").alias("n_ngrams"),
+        uniq.cast("long").alias("n_distinct"),
+        F.when(total > 0, F.round((total - uniq) / total, 6))
+        .otherwise(F.lit(0.0))
+        .alias("repetition"),
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.0,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination check: per document, the fraction of its
+    DISTINCT character n-grams that appear anywhere in the benchmark set
+    (the eval-leakage screen a training pipeline runs before a data
+    release). Candidates meet through a shingle equi-join — never
+    all-pairs; the distinct benchmark shingle set is broadcast when small
+    (``broadcast_benchmark``), else it joins shuffled like any equi-join."""
+    c = F.col(text_col)
+    d_sh = docs.filter(F.length(c) >= n).select(
+        F.col(key_col).alias("key"),
+        F.explode(F.array_distinct(char_ngrams(c, n))).alias("sh"),
+    )
+    b_sh = (
+        benchmark.filter(F.length(c) >= n)
+        .select(F.explode(F.array_distinct(char_ngrams(c, n))).alias("sh"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        b_sh = F.broadcast(b_sh)
+    sizes = d_sh.groupBy("key").agg(F.count("*").alias("n_sh"))
+    hits = d_sh.join(b_sh, on="sh").groupBy("key").agg(F.count("*").alias("n_hit"))
+    frac = F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_sh")
+    return (
+        sizes.join(hits, on="key", how="left")
+        .select(
+            F.col("key").alias(key_col),
+            F.col("n_sh").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.round(frac, 6).alias("contamination"),
+        )
+        .filter(F.col("contamination") >= threshold)
+    )
+
+
 _WINNOW_SCHEMA = T.ArrayType(T.LongType())
 
 

@@ -585,3 +585,63 @@ def test_dup_clusters_deep_chain_converges(spark):
     rows = dup_clusters(pairs, max_iter=40).collect()
     assert len(rows) == 32
     assert {r["cluster_id"] for r in rows} == {"n000"}
+
+
+def test_pack_sequences_matches_global_prefix_sum(spark):
+    """The two-pass distributed prefix sum must equal the naive global
+    cumsum packing for any order, including multi-partition inputs."""
+    from parquet2csv_spark.functions.packing import pack_sequences
+
+    toks = [7, 100, 250, 300, 12, 512, 1, 90, 450, 30]
+    df = spark.createDataFrame(
+        [(i, toks[i]) for i in range(len(toks))], "doc_id long, n_tokens long"
+    ).repartition(5)
+    got = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(df, "doc_id", "n_tokens", budget=512).collect()
+    }
+    cum = 0
+    for i, t in enumerate(toks):
+        assert got[i] == (cum // 512, cum % 512), (i, got[i], cum)
+        cum += t
+    # doc-preserving: a document never splits, so every seq_offset < budget
+    assert all(off < 512 for _, off in got.values())
+
+
+def test_pack_sequences_empty_input(spark):
+    from parquet2csv_spark.functions.packing import pack_sequences
+
+    df = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert pack_sequences(df, "doc_id", "n_tokens", budget=128).count() == 0
+
+
+def test_repetition_ratio_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "abababab"),      # 4-grams: abab,baba,abab,baba,abab → 5 total, 2 distinct
+            (2, "abcdefgh"),      # all 5 distinct
+            (3, "xy"),            # shorter than n → 0 ngrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in tx.repetition_ratio(df, n=4).collect()}
+    assert (got[1]["n_ngrams"], got[1]["n_distinct"]) == (5, 2)
+    assert got[1]["repetition"] == round(3 / 5, 6)
+    assert got[2]["repetition"] == 0.0
+    assert (got[3]["n_ngrams"], got[3]["repetition"]) == (0, 0.0)
+
+
+def test_contamination_fraction_and_threshold(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "zzzzzzzzzzzzzzzz")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in tx.contamination(docs, bench, n=8).collect()}
+    assert got[1]["contamination"] == 1.0  # doc 1 IS a benchmark doc
+    assert got[2]["contamination"] == 0.0  # fully disjoint
+    # threshold drops the clean doc
+    kept = tx.contamination(docs, bench, n=8, threshold=0.5).collect()
+    assert [r["doc_id"] for r in kept] == [1]
