@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from . import alp, bitpack, encode_array, foref, fsst, rle, vec
+from . import alp, encode_array, foref, rle, vec
 
 # "ratio" (default, north_star optimizes compressed size) or "fast"
 # (skips symbol-table candidates on large blobs). Workers inherit the env.
@@ -47,8 +47,6 @@ class ColumnStats:
     run_ratio: float = 1.0        # runs / values (1.0 = no runs)
     avg_len: float = 0.0
     value_range: int = 0
-    fsst_ratio: float = 1.0       # trial symbol-table compression on sample
-    zlib_ratio: float = 1.0
 
 
 def _sample(arr: pa.Array) -> pa.Array:
@@ -74,17 +72,16 @@ def analyze(arr: pa.Array) -> ColumnStats:
         st.value_range = int(vals.max() - vals.min()) if sn else 0
     elif kind == vec.KIND_STRING:
         filled = s.fill_null("") if s.null_count else s
-        lengths, blob = vec.string_parts(filled)
+        lengths, _blob = vec.string_parts(filled)
         st.avg_len = float(lengths.mean()) if sn else 0.0
         st.ndv_ratio = len(pc.unique(filled)) / sn
         codes = pc.dictionary_encode(filled).indices.to_numpy(zero_copy_only=False)
         st.run_ratio = rle.count_runs(codes.astype(np.int64)) / sn
-        trial = blob[:_ZLIB_TRIAL]
-        if len(trial) >= 256:
-            merges = fsst.train(trial, max_merges=64)
-            if merges:
-                st.fsst_ratio = len(fsst.compress(trial, merges)) / len(trial)
-            st.zlib_ratio = len(zlib.compress(trial, 1)) / len(trial)
+        # NOTE: earlier versions also ran a 64 KB fsst-train + deflate
+        # trial here to export fsst/zlib ratios — nothing ever consumed
+        # them and choose() measures real candidate sizes anyway, so the
+        # trial was pure per-chunk overhead (~25% of selection time in the
+        # cProfile of the encode kernel). Removed; selection is unchanged.
     else:  # floats
         st.ndv_ratio = 1.0
     return st
@@ -230,15 +227,23 @@ def choose(arr: pa.Array, stats: ColumnStats | None = None, profile: str | None 
     half = max(1, sn // 2)
     exact = sn == st.n  # sample IS the chunk → measured sizes are exact
     sizes: list[tuple[float, str]] = []
+    # per-call trial cache: the half-sample point of a symbol-table
+    # candidate reuses the table trained on the full sample (its blob is a
+    # prefix, so the table is reusable) — one train per candidate instead
+    # of two, AND the two-point fit becomes cleaner: both points now carry
+    # the IDENTICAL fixed payload, so the slope isolates pure per-value
+    # cost. Scoped to this choose() call (a pure function of the sample):
+    # selection stays deterministic.
+    trial_ctx: dict = {}
     for spec in _string_candidates(st, profile):
         try:
-            s1 = len(encode_array(sample, spec))
+            s1 = len(encode_array(sample, spec, trial_ctx, spec))
             if exact:
                 sizes.append((float(s1), spec))
                 continue
             # two-point fit: separates fixed payload (dict/symtab/header)
             # from per-value cost, so extrapolation to the full chunk is fair
-            s2 = len(encode_array(sample.slice(0, half), spec))
+            s2 = len(encode_array(sample.slice(0, half), spec, trial_ctx, spec))
             slope = max(0.0, (s1 - s2) / max(1, sn - half))
             sizes.append((s1 + slope * (st.n - sn), spec))
         except Exception:
