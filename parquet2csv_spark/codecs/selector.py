@@ -267,10 +267,14 @@ def encode_best(
     transport layer on the body and keep it when it saves >10%.
 
     ``ctx``/``ctx_key``: per-task cache — the spec chosen for a column is
-    reused for subsequent chunks of the same group (consecutive chunks of a
-    sorted group are near-identically distributed), as is the FSST symbol
-    table when its codes stay valid. Both are deterministic because groups
-    are always encoded from seq 0 in order.
+    reused for later chunks of that column in the same 4× size band (one
+    table's chunks are near-identically distributed; the band key keeps a
+    spec chosen on a tiny chunk from steering a big one). The key is a
+    pure function of the chunk's own size, so zipf-mixed group sizes
+    can't thrash the cache the way the old single-slot last-decider guard
+    did (measured ~2 choose() calls per group — i.e. near-zero reuse — on
+    the profiling corpus). The FSST symbol table is likewise reused while
+    its codes stay valid.
 
     Guarantee: never pathologically worse than plain — if the chosen frame
     exceeds the plain frame, fall back to plain.
@@ -278,18 +282,13 @@ def encode_best(
     from . import raw_size, wrap_zlib
 
     chosen = spec
+    band = len(arr).bit_length() // 2  # 4× size bands: [4^k, 4^(k+1))
     if chosen is None and ctx is not None and ctx_key is not None:
-        cached = ctx.get(("spec", ctx_key))
-        # a spec chosen on a tiny chunk must not steer a big one (and vice
-        # versa): reuse only within a 4× size band of the deciding chunk
-        if cached is not None:
-            cached_spec, cached_n = cached
-            if 0.25 <= (len(arr) / max(1, cached_n)) <= 4.0:
-                chosen = cached_spec
+        chosen = ctx.get(("spec", ctx_key, band))
     if chosen is None:
         chosen = choose(arr)
         if ctx is not None and ctx_key is not None:
-            ctx[("spec", ctx_key)] = (chosen, len(arr))
+            ctx[("spec", ctx_key, band)] = chosen
     frame = encode_array(arr, chosen, ctx, ctx_key)
     if not chosen.endswith("+z") and len(frame) > 4096:
         # cheap sliced trial first; full +z wrap only if promising

@@ -28,6 +28,7 @@ no shuffle)::
 from __future__ import annotations
 
 import hashlib
+import uuid
 from collections.abc import Iterator
 
 import numpy as np
@@ -193,6 +194,24 @@ def _rows_to_batch(rows: list[dict]) -> pa.RecordBatch:
     return pa.RecordBatch.from_arrays(arrays, schema=CHUNKS_ARROW)
 
 
+# Worker-lifetime codec cache. A UDF closure is re-pickled PER TASK, so a
+# plain `ctx = {}` inside the builder only amortizes selector decisions and
+# FSST tables across the groups of one task. PySpark reuses python worker
+# processes across tasks (spark.python.worker.reuse), and module globals
+# survive that reuse — so caches namespaced here by a per-job id carry
+# across ALL tasks a worker runs for that encode job, while two different
+# jobs (different tables, same column names) can never cross-pollute.
+_WORKER_CACHE: dict[str, dict] = {}
+
+
+def _job_ctx(namespace: str) -> dict:
+    if len(_WORKER_CACHE) > 8:  # bound stale namespaces from prior jobs
+        for k in list(_WORKER_CACHE):
+            if k != namespace:
+                _WORKER_CACHE.pop(k, None)
+    return _WORKER_CACHE.setdefault(namespace, {})
+
+
 # ----------------------------------------------------------- ungrouped path
 
 def encode_table(
@@ -204,12 +223,14 @@ def encode_table(
     """Per-partition chunked encode; no shuffle. Chunk ids are
     content-addressed (sha1 of frames) — identical data → identical ids."""
 
+    cache_ns = uuid.uuid4().hex  # one cache namespace per encode job plan
+
     def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pending: list[pa.RecordBatch] = []
         pending_rows = 0
         pending_bytes = 0
         seq = 0
-        ctx: dict = {}
+        ctx = _job_ctx(cache_ns)
 
         def flush(tbl: pa.Table):
             nonlocal seq
@@ -341,11 +362,14 @@ def encode_salted(
     # worker-lifetime codec cache: selector decisions and FSST tables carry
     # across ALL groups a python worker processes in this stage (groups of
     # one table are near-identically distributed; stale entries are guarded
-    # by fsst.reusable() and the never-worse-than-plain fallback). Shipped
-    # once per task via the closure; mutations persist per worker.
-    ctx: dict = {}
+    # by fsst.reusable() and the never-worse-than-plain fallback). The
+    # module-global _WORKER_CACHE namespace makes this survive task
+    # boundaries in reused python workers — a per-task closure dict only
+    # amortized within one task's groups.
+    cache_ns = uuid.uuid4().hex
 
     def enc_group(tbl: pa.Table) -> pa.Table:
+        ctx = _job_ctx(cache_ns)
         gk = tbl["_gk"][0].as_py() if tbl.num_rows else ""
         # rows arrive ordered by order_cols (JVM sort above)
         body = tbl.select(data_cols)

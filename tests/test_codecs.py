@@ -331,3 +331,28 @@ def test_decint_negative_and_fallback():
     # (tag is authoritative), round-trip still exact
     big = pa.array([Decimal(10) ** 25, Decimal(-(10 ** 25))], type=pa.decimal128(30, 0))
     assert decode_array(encode_array(big, "decint:for")).equals(big)
+
+
+def test_pack_small_and_large_paths_byte_identical():
+    """The packbits fast path (small n*width) and the strided shift-or
+    path must produce byte-identical streams — the format is one flat
+    little-endian bitstream regardless of which code packed it."""
+    import numpy as np
+
+    from parquet2csv_spark.codecs import bitpack
+
+    rng = np.random.default_rng(7)
+    for n in (1, 5, 511, 1024, 9001):
+        for w in (1, 3, 7, 13, 20, 33, 63):
+            v = rng.integers(0, 2 ** min(w, 62), n, dtype=np.uint64)
+            got = bitpack.pack(v, w)
+            # force the large path for comparison
+            saved = bitpack._PACKBITS_MAX_BITS
+            try:
+                bitpack._PACKBITS_MAX_BITS = -1
+                want = bitpack.pack(v, w)
+            finally:
+                bitpack._PACKBITS_MAX_BITS = saved
+            assert got == want, (n, w)
+            back = bitpack.unpack(got, n, w)
+            assert (back == v).all(), (n, w)
