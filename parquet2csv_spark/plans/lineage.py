@@ -261,36 +261,40 @@ class EncodeJob:
     # --------------------------------------------------------------- reading
 
     def chunks(self) -> DataFrame:
-        """Committed chunks only: join against done lineage and resolve
-        duplicate chunk ids (orphans from crashed runs are invisible; a
-        group with files from several runs — crash after chunk write,
-        before lineage commit, then resumed — resolves to one copy).
+        """Committed chunks only, exactly one run per group.
 
-        The duplicate resolution deliberately avoids ``dropDuplicates``:
-        that would hash-exchange every chunk row INCLUDING the binary frame
-        payload to handle a normally-empty edge case — at 100 TB of chunks,
-        a full-data shuffle for nothing. Instead the conflict set is
-        computed on a projected ``(chunk_id, run)`` view (the only wide
-        exchange carries ids) and broadcast back as a per-row winner
-        filter; chunk contents are deterministic per (snapshot, params), so
-        any run's copy is valid and ``min(run)`` picks one deterministically.
+        The lineage records which ``run_id`` committed each group, so the
+        valid chunk set is the semi-join of the chunks files against the
+        broadcast ``(group_key, min committed run)`` pairs of THIS
+        (snapshot, job). That single join closes every duplicate class at
+        once, with zero wide exchange of the binary frames:
+
+        - orphan runs (crash after chunk write, before lineage append):
+          their run_id has no lineage row — excluded;
+        - another generation in the same out_dir (same group keys under a
+          different snapshot/job — positional gk:seq chunk ids collide
+          ACROSS generations, and a per-chunk-id winner pick could splice
+          generations with different chunk counts): its runs belong to
+          other lineage rows — excluded;
+        - a group double-committed by concurrent runs: ``min(run_id)``
+          pins one committed run per group, so a group's chunks are never
+          mixed across runs even in that race.
+
+        (An earlier version dropDuplicates'd on chunk_id, hash-exchanging
+        every frame payload — a full-data shuffle at 100 TB — and could
+        still splice coexisting generations; plan-asserted gone.)
         """
         all_chunks = self.spark.read.parquet(f"{self.out_dir}/chunks")
-        committed = self.done_groups().withColumnRenamed("_gk", "group_key")
-        visible = all_chunks.join(
-            F.broadcast(committed), on="group_key", how="left_semi"
-        )
-        dup_keep = (
-            visible.select("chunk_id", "run")
-            .groupBy("chunk_id")
-            .agg(F.count("*").alias("_n"), F.min("run").alias("_keep_run"))
-            .filter(F.col("_n") > 1)
-            .select("chunk_id", "_keep_run")
-        )
-        return (
-            visible.join(F.broadcast(dup_keep), on="chunk_id", how="left")
+        committed = (
+            self.lineage()
             .filter(
-                F.col("_keep_run").isNull() | (F.col("run") == F.col("_keep_run"))
+                (F.col("snapshot_id") == self.snapshot_id)
+                & (F.col("job_id") == self.job_id)
+                & (F.col("status") == "done")
             )
-            .drop("_keep_run")
+            .groupBy("group_key")
+            .agg(F.min("run_id").alias("run"))
+        )
+        return all_chunks.join(
+            F.broadcast(committed), on=["group_key", "run"], how="left_semi"
         )

@@ -169,10 +169,11 @@ def test_chunks_dedupe_never_shuffles_frame_payloads(spark, corpus, tmp_path_fac
 
 
 def test_double_committed_group_resolves_to_single_run(spark, corpus, tmp_path_factory):
-    """A group committed twice (crash between chunk write and lineage
-    append, then resumed) leaves two runs' files carrying the same chunk
-    ids; chunks() must resolve each id to exactly one copy and decode
-    bit-identically."""
+    """Duplicate chunk files must never decode twice, in either class:
+    (1) an orphan run (crash after chunk write, before lineage append) has
+    no lineage row — invisible; (2) a concurrent double-commit (the same
+    groups 'done' under TWO run_ids) resolves to one committed run per
+    group via min(run_id). Both decode bit-identically."""
     import os
     import shutil
 
@@ -187,13 +188,21 @@ def test_double_committed_group_resolves_to_single_run(spark, corpus, tmp_path_f
         os.path.join(chunks_dir, runs[0]),
         os.path.join(chunks_dir, "run=zzduplicate0"),
     )
+    # case 1: duplicate files, no lineage row — orphan, invisible
     got = job.chunks()
-    per_id = got.groupBy("chunk_id").count().filter("count > 1").count()
-    assert per_id == 0
-    per_run = got.select("run").distinct().count()
-    assert per_run == 1  # one winner run, picked deterministically
-    dec = decode_table(job.chunks(), CORPUS_DDL)
-    assert multiset_diff(corpus, dec).count() == 0
+    assert got.groupBy("chunk_id").count().filter("count > 1").count() == 0
+    assert got.select("run").distinct().count() == 1
+    assert multiset_diff(corpus, decode_table(got, CORPUS_DDL)).count() == 0
+
+    # case 2: the duplicate run ALSO commits lineage (concurrent runs) —
+    # min(run_id) pins one run per group, never mixing runs within a group
+    lin = spark.read.option("mergeSchema", True).parquet(f"{out}/lineage")
+    dup_lineage = lin.withColumn("run_id", F.lit("zzduplicate0"))
+    dup_lineage.write.mode("append").parquet(f"{out}/lineage")
+    got2 = job.chunks()
+    assert got2.groupBy("chunk_id").count().filter("count > 1").count() == 0
+    assert got2.select("run").distinct().count() == 1
+    assert multiset_diff(corpus, decode_table(got2, CORPUS_DDL)).count() == 0
 
 
 def test_digest_format_migration_refused(spark, corpus, tmp_path_factory):
