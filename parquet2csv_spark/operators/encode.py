@@ -223,14 +223,19 @@ def encode_table(
     """Per-partition chunked encode; no shuffle. Chunk ids are
     content-addressed (sha1 of frames) — identical data → identical ids."""
 
-    cache_ns = uuid.uuid4().hex  # one cache namespace per encode job plan
-
     def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pending: list[pa.RecordBatch] = []
         pending_rows = 0
         pending_bytes = 0
         seq = 0
-        ctx = _job_ctx(cache_ns)
+        # deliberately per-task (NOT the worker-lifetime _WORKER_CACHE):
+        # with a per-task cache the frames are a pure function of the
+        # partition's data, which the byte-pinned engine-metrics oracle
+        # depends on; a worker-lifetime cache would make codec choices and
+        # FSST tables depend on which task a worker happened to run first.
+        # This path has few, chunky partitions, so the amortization the
+        # grouped path needs is immaterial here.
+        ctx: dict = {}
 
         def flush(tbl: pa.Table):
             nonlocal seq
@@ -365,7 +370,12 @@ def encode_salted(
     # by fsst.reusable() and the never-worse-than-plain fallback). The
     # module-global _WORKER_CACHE namespace makes this survive task
     # boundaries in reused python workers — a per-task closure dict only
-    # amortized within one task's groups.
+    # amortized within one task's groups. Tradeoff, accepted HERE only:
+    # frame bytes become a function of the task→worker schedule (±1% size
+    # drift run-to-run); decode bit-identity, multiset resume exactness
+    # and the chunk-count lineage oracle are all schedule-independent, and
+    # the byte-pinned metrics oracle rides encode_table, which keeps a
+    # strictly per-task cache.
     cache_ns = uuid.uuid4().hex
 
     def enc_group(tbl: pa.Table) -> pa.Table:
