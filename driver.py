@@ -122,9 +122,18 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         if os.path.isdir(job_chunks):
             from parquet2csv_spark.plans.lineage import EncodeJob
 
-            lineage = spark.read.option("mergeSchema", True).parquet(
-                os.path.join(args.chunks, "lineage")
-            )
+            try:
+                lineage = spark.read.option("mergeSchema", True).parquet(
+                    os.path.join(args.chunks, "lineage")
+                )
+            except Exception:
+                # a run that crashed before its first lineage append leaves
+                # chunks/ without lineage/ — route into the clean error
+                # path below instead of a raw AnalysisException
+                lineage = spark.createDataFrame(
+                    [], "snapshot_id string, job_id string, status string, "
+                        "committed_at timestamp"
+                )
             done = lineage.filter(F.col("status") == "done")
             if args.snapshot_id:
                 done = done.filter(F.col("snapshot_id") == args.snapshot_id)

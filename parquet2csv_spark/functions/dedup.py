@@ -219,6 +219,19 @@ def all_pairs_jaccard(
     )
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a localCheckpoint's RDD blocks. The blocks
+    belong to the LogicalRDD behind the checkpointed frame; probing shows
+    ``analyzed().rdd().unpersist(false)`` frees them where
+    ``DataFrame.unpersist()`` and ``toRdd().unpersist()`` do not. Guarded:
+    on any API drift the blocks are simply left for GC (the pre-fix
+    behavior), never an error."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over near-duplicate pairs → (key, cluster_id),
     cluster_id = min key in the component (the deterministic survivor a
@@ -237,6 +250,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = edges.select(F.col("a").alias("key")).distinct().withColumn("label", F.col("key"))
     converged = False
     prev = None
+    last_ck = None
     for it in range(max_iter):
         nb = (
             edges.join(labels, edges.b == labels.key)
@@ -250,7 +264,8 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 F.least(labels["label"], F.coalesce(nb["nb_min"], labels["label"])).alias("label"),
             )
         )
-        if (it + 1) % 5 == 0:
+        is_ck = (it + 1) % 5 == 0
+        if is_ck:
             # truncate the logical plan: without this every round's join
             # stays chained in the lineage, so deep components (diameter >
             # ~15) spend more time in Catalyst analysis than in execution,
@@ -268,6 +283,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         if prev is not None:
             prev.unpersist()
+        if is_ck:
+            # DataFrame.unpersist is a no-op for localCheckpoint blocks
+            # (they live at the RDD level, outside the SQL cache manager);
+            # once THIS checkpoint is materialized, no live plan roots at
+            # the previous one, so its blocks can be released explicitly
+            if last_ck is not None:
+                _free_local_checkpoint(last_ck)
+            last_ck = new_labels
         prev = new_labels
         labels = new_labels
         if changed == 0:

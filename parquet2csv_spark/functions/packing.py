@@ -9,21 +9,22 @@ re-computable. A naive Spark expression of it —
 that dies at 100 TB. Instead the prefix sum is computed with the classic
 two-pass distributed scheme:
 
-  1. ``repartitionByRange`` on the order column (ranges ascend with
-     physical partition id);
-  2. one tiny aggregate: per-partition token totals (ONE row per
-     partition, bounded driver collect);
-  3. exclusive prefix offsets over those totals, broadcast back;
-  4. a per-partition running-sum window (parallel across partitions)
-     plus the broadcast offset = the exact global prefix sum.
+  1. ``repartitionByRange`` on the order column; per-range aggregate of
+     (token total, min order value, max order value) — ONE row per
+     partition, a bounded driver collect;
+  2. exclusive prefix offsets over those totals on the driver;
+  3. a second pass over the ORIGINAL frame: each row finds its range BY
+     VALUE via a broadcast range join, then a per-range running-sum
+     window (parallel across ranges) plus the broadcast offset gives the
+     exact global prefix sum.
+
+Because pass 2 locates ranges by value interval — not by reproducing the
+sampled physical partitioning — nothing needs to be persisted and the
+result cannot depend on RangePartitioner's per-job bound sampling.
 
 Documents are never split across sequences (doc-preserving packing): a
 document starts in the sequence its exclusive prefix lands in, so a
 sequence can overshoot the budget by at most one document's tokens.
-The range partitioner's sampled bounds may vary between runs, but the
-result is a function of the global order only — bounds placement cannot
-change any output row (order ties must be impossible: use a unique
-order column).
 """
 
 from __future__ import annotations
@@ -42,8 +43,8 @@ def pack_sequences(
     """Return ``(key, n_tokens, seq_id, seq_offset)``: the training
     sequence each document is packed into and its token offset inside it.
 
-    ``order_col`` (default: ``key_col``) must be unique — it defines the
-    deterministic global packing order.
+    ``order_col`` (default: ``key_col``) must be unique and non-null —
+    it defines the deterministic global packing order.
     """
     order_col = order_col or key_col
     spark = df.sparkSession
@@ -54,40 +55,55 @@ def pack_sequences(
         F.col(tokens_col).cast("long").alias("n_tokens"),
         F.col(order_col).alias("_ord"),
     )
-    # persist BEFORE the totals job: RangePartitioner samples its bounds
-    # per physical planning, so two independent jobs over the same lazy
-    # plan could place rows in different partitions — the broadcast
-    # offsets would then join against the wrong partition ids. Caching
-    # pins one materialized partitioning that both passes share (lost
-    # blocks replay the same frozen shuffle, not a fresh sample).
-    ranged = (
+    # pass 1: per-range totals + the VALUE interval each range covers
+    parts = (
         d.repartitionByRange(num_partitions, "_ord")
-        .withColumn("_part", F.spark_partition_id())
-        .persist()
+        .groupBy(F.spark_partition_id().alias("_part"))
+        .agg(
+            F.sum("n_tokens").alias("_ptot"),
+            F.min("_ord").alias("_lo"),
+            F.max("_ord").alias("_hi"),
+        )
+        .collect()
     )
-    # per-partition totals: ONE row per partition — the collect is bounded
-    # by the partition count, never by the data
-    totals = sorted(
-        ranged.groupBy("_part").agg(F.sum("n_tokens").alias("_ptot")).collect(),
-        key=lambda r: r["_part"],
-    )
-    offs, acc = [], 0
-    for r in totals:
-        offs.append((r["_part"], acc))
+    parts.sort(key=lambda r: r["_part"])  # range partitions ascend by value
+    acc = 0
+    ranges = []
+    for r in parts:
+        ranges.append((r["_lo"], r["_hi"], acc))
         acc += r["_ptot"]
-    off_df = spark.createDataFrame(offs or [(0, 0)], "_part int, _poff long")
+    if not ranges:
+        return d.select(
+            F.col("_key").alias(key_col),
+            "n_tokens",
+            F.lit(None).cast("long").alias("seq_id"),
+            F.lit(None).cast("long").alias("seq_offset"),
+        )
+    rdf = spark.createDataFrame(
+        [(i, lo, hi, off) for i, (lo, hi, off) in enumerate(ranges)],
+        ["_rid", "_lo", "_hi", "_poff"],
+    )
+    # pass 2: locate each row's range by value (ranges are disjoint and
+    # cover every _ord — unique, non-null order values can't straddle)
+    joined = d.join(
+        F.broadcast(rdf),
+        (d["_ord"] >= rdf["_lo"]) & (d["_ord"] <= rdf["_hi"]),
+    )
     w = (
-        Window.partitionBy("_part")
+        Window.partitionBy("_rid")
         .orderBy("_ord")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    prev = F.sum("n_tokens").over(w) + F.col("_poff") - F.col("n_tokens")
     return (
-        ranged.join(F.broadcast(off_df), on="_part")
+        joined.withColumn(
+            "_prev", F.sum("n_tokens").over(w) + F.col("_poff") - F.col("n_tokens")
+        )
         .select(
             F.col("_key").alias(key_col),
             "n_tokens",
-            F.floor(prev / F.lit(budget)).alias("seq_id"),
-            (prev % F.lit(budget)).alias("seq_offset"),
+            # integer `div`, not floor(double division): at extreme prefix
+            # sums double rounding could disagree with the exact modulo
+            F.expr(f"_prev div {int(budget)}").alias("seq_id"),
+            F.expr(f"_prev % {int(budget)}").alias("seq_offset"),
         )
     )

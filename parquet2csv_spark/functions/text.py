@@ -156,17 +156,25 @@ def contamination(
         .select(F.explode(F.array_distinct(char_ngrams(c, n))).alias("sh"))
         .distinct()
     )
+    b_sh = b_sh.withColumn("_hit", F.lit(1))
     if broadcast_benchmark:
         b_sh = F.broadcast(b_sh)
-    sizes = d_sh.groupBy("key").agg(F.count("*").alias("n_sh"))
-    hits = d_sh.join(b_sh, on="sh").groupBy("key").agg(F.count("*").alias("n_hit"))
-    frac = F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_sh")
+    # ONE pass over the expensive doc-shingle stream: mark hits with a
+    # left join, then count total and non-null marks in a single groupBy
+    # (a separate sizes/hits pair would scan+explode the documents twice
+    # and shuffle the shingle stream into two aggregations)
+    marked = d_sh.join(b_sh, on="sh", how="left")
+    frac = F.col("n_hit") / F.col("n_sh")
     return (
-        sizes.join(hits, on="key", how="left")
+        marked.groupBy("key")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.count("_hit").alias("n_hit"),
+        )
         .select(
             F.col("key").alias(key_col),
             F.col("n_sh").cast("long").alias("n_shingles"),
-            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.col("n_hit").cast("long").alias("n_contaminated"),
             F.round(frac, 6).alias("contamination"),
         )
         .filter(F.col("contamination") >= threshold)

@@ -87,6 +87,11 @@ def _apply_filters(chunks_df: DataFrame, schema: StructType, filters) -> DataFra
         field = next((f for f in schema.fields if f.name == col), None)
         if field is None:
             raise ValueError(f"filter column {col!r} not in decode schema")
+        if op not in (">=", ">", "<=", "<", "=="):
+            # validate BEFORE the type dispatch: a bad op on a column
+            # without zone maps must raise the same clear error, not a
+            # KeyError later in the row-filter stage
+            raise ValueError(f"unsupported filter op {op!r}")
         simple = field.dataType.simpleString()
         is_int = simple in _INT_TYPES
         is_str = simple == "string"
@@ -97,10 +102,8 @@ def _apply_filters(chunks_df: DataFrame, schema: StructType, filters) -> DataFra
             chunks_df = prune(chunks_df, col, lo=val)
         elif op in ("<=", "<"):
             chunks_df = prune(chunks_df, col, hi=val)
-        elif op == "==":
+        else:  # "=="
             chunks_df = prune(chunks_df, col, lo=val, hi=val)
-        else:
-            raise ValueError(f"unsupported filter op {op!r}")
     return chunks_df
 
 

@@ -284,7 +284,17 @@ class EncodeJob:
         every frame payload — a full-data shuffle at 100 TB — and could
         still splice coexisting generations; plan-asserted gone.)
         """
-        all_chunks = self.spark.read.parquet(f"{self.out_dir}/chunks")
+        from ..operators.encode import CHUNKS_DDL
+
+        # explicit schema with `run string`: without it Spark's partition
+        # TYPE INFERENCE parses the run=<12-hex> dir name, and an all-digit
+        # hex id (~1 in 280 runs, e.g. run=012345678901 or 12e345678901)
+        # becomes a Long/Double whose string form drops the leading zero /
+        # gains an exponent — the semi-join below would then silently drop
+        # that entire committed run (review finding r4)
+        all_chunks = self.spark.read.schema(CHUNKS_DDL + ", run string").parquet(
+            f"{self.out_dir}/chunks"
+        )
         committed = (
             self.lineage()
             .filter(

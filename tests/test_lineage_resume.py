@@ -221,3 +221,29 @@ def test_digest_format_migration_refused(spark, corpus, tmp_path_factory):
     # a fresh job_id under the new format is allowed
     EncodeJob(spark, out, snapshot_id="m2-0123456789abcdef", job_id="fresh",
               chunk_rows=1024, chunk_bytes=1 << 20).run(corpus)
+
+
+def test_chunks_survive_numeric_looking_run_ids(spark, corpus, tmp_path_factory):
+    """~1 in 280 uuid-hex run ids is all digits; partition type inference
+    would parse run=012345678901 as a Long, drop the leading zero, and the
+    (group_key, run) semi-join would silently exclude the whole committed
+    run. chunks() must read the partition column as a string."""
+    import os
+    import shutil
+
+    out = str(tmp_path_factory.mktemp("numeric_run"))
+    job = EncodeJob(spark, out, snapshot_id="snapN", chunk_rows=1024, chunk_bytes=1 << 20)
+    job.run(corpus)
+    chunks_dir = f"{out}/chunks"
+    old = [d for d in os.listdir(chunks_dir) if d.startswith("run=")][0]
+    shutil.move(os.path.join(chunks_dir, old), os.path.join(chunks_dir, "run=012345678901"))
+    lin = spark.read.option("mergeSchema", True).parquet(f"{out}/lineage")
+    lin.withColumn("run_id", F.lit("012345678901")).write.mode("overwrite").parquet(
+        f"{out}/lineage_tmp"
+    )
+    shutil.rmtree(f"{out}/lineage")
+    shutil.move(f"{out}/lineage_tmp", f"{out}/lineage")
+
+    got = EncodeJob(spark, out, snapshot_id="snapN", chunk_rows=1024, chunk_bytes=1 << 20).chunks()
+    assert got.count() > 0
+    assert multiset_diff(corpus, decode_table(got, CORPUS_DDL)).count() == 0
