@@ -33,7 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+# default 2 (not 3): the full interleaved suite at 3 reps drains the
+# box's burst-credit budget mid-run even from rested — the third rep
+# measures throttle, not the engine, and drags the medians
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 WORK = os.environ.get("SPARK_GRAFT_WORK", "/tmp/p2c_bench")
 
 
