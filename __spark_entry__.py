@@ -4,16 +4,18 @@
                  sf0.001, returning per-lang bit-identity counts.
 ``queries``    — one entry per implemented operator (SURVEY.md §2.2 plus
                  the training-data ops); each takes (spark, sf_dir).
-``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents (54 of 56 queries,
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents (58 of 60 queries,
                  including the full MinHash/LSH/IVF/winnowing pipelines via
                  portable hashing, pinned-constant oracles for the
-                 deterministic engine metrics/corpus summary, and a
-                 short-expansion F2 float query). Omitted only for the two
-                 genuinely non-SQL-expressible ops — full binary-exact
-                 float text (needs ~52 significant digits; DuckDB decimals
-                 stop at 38; the short-expansion twin IS oracle-checked)
-                 and approximate sketches (exact twins are) — where the
-                 driver records a rows-only check.
+                 deterministic engine metrics/corpus summary, a
+                 short-expansion F2 float query, and the distributed
+                 prefix-sum packing vs the naive global-window cumsum).
+                 Omitted only for the two genuinely non-SQL-expressible
+                 ops — full binary-exact float text (needs ~52 significant
+                 digits; DuckDB decimals stop at 38; the short-expansion
+                 twin IS oracle-checked) and approximate sketches (exact
+                 twins are) — where the driver records a rows-only check.
+                 Both sit in the tail outside the driver's 50-slot window.
 """
 
 from __future__ import annotations
