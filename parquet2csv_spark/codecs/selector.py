@@ -12,8 +12,15 @@ global choice, each column chunk gets the codec its own data favors
 (FSST/dict for path-like and content-like text, RLE/dict for
 low-cardinality repo/lang/commit — as the north_star prescribes).
 
-Determinism: the sample is a fixed stride slice, so the same chunk always
-selects the same codec (required for exact resume idempotency).
+Determinism contract (weakened in round 4, by design): the sample is a
+fixed stride slice, so a single ``choose``/``encode_best`` call is
+deterministic in its inputs — the ungrouped ``encode_table`` path and the
+pinned ``encode_metrics_documents`` oracle rely on exactly that (strictly
+per-task spec cache). The grouped path (``encode_salted``) adds a
+worker-LIFETIME spec cache, so its FSST/dict choices depend on the
+task-to-worker schedule: frames are decode-exact but NOT byte-identical
+across runs. Resume correctness therefore rests on ``EncodeJob.chunks()``
+reading exactly ONE committed run per group — never on byte identity.
 """
 
 from __future__ import annotations

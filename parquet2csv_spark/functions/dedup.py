@@ -12,6 +12,8 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import char_ngrams
@@ -80,9 +82,28 @@ def minhash_signatures(
     return mins.select("key", F.expr(f"array({arr})").alias("sig"))
 
 
+# the documented 100-TB preset for bucket_cap="scale": buckets beyond this
+# carry almost no discriminative signal (everything matches everything) and
+# one such bucket makes a |bucket|² join task — VERDICT r4 #5 made the valve
+# nameable so production callers don't have to remember a number
+SCALE_BUCKET_CAP = 10_000
+
+
+def resolve_bucket_cap(bucket_cap: int | None | str) -> int | None:
+    """``None`` → exact (no cap); ``"scale"`` → :data:`SCALE_BUCKET_CAP`;
+    an int → itself. Raises on anything else so typos fail loudly."""
+    if bucket_cap is None:
+        return None
+    if bucket_cap == "scale":
+        return SCALE_BUCKET_CAP
+    if isinstance(bucket_cap, bool) or not isinstance(bucket_cap, int):
+        raise ValueError(f"bucket_cap must be None, 'scale', or an int, got {bucket_cap!r}")
+    return bucket_cap
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame, bands: int = 8, rows_per_band: int = 4,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None | str = None,
 ) -> DataFrame:
     """Banding: hash each band of the signature, equi-join per band bucket.
     Returns distinct (key_a, key_b) with key_a < key_b.
@@ -97,7 +118,10 @@ def lsh_candidate_pairs(
     same band value — otherwise produces cap-free |bucket|² candidate
     pairs and a quadratic skewed join task; such buckets carry almost no
     discriminative signal anyway (everything matches everything). With
-    ``None`` (default) behavior is exact — the sf0.01 oracle path."""
+    ``None`` (default) behavior is exact — the sf0.01 oracle path. Pass
+    ``"scale"`` for the documented 100-TB preset (:data:`SCALE_BUCKET_CAP`)
+    instead of inventing a number."""
+    bucket_cap = resolve_bucket_cap(bucket_cap)
     band_exprs = ", ".join(
         "md5(concat_ws(',', "
         + ", ".join(f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band))
@@ -133,13 +157,14 @@ def lsh_candidate_pairs(
 def minhash_near_dups(
     df: DataFrame, key_col: str, text_col: str = "text",
     n: int = 3, num_perm: int = 32, bands: int = 8,
-    threshold: float = 0.7, bucket_cap: int | None = None,
+    threshold: float = 0.7, bucket_cap: int | None | str = None,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact-Jaccard
     verification of candidates only. Returns (key_a, key_b, jaccard).
 
     ``bucket_cap``: see :func:`lsh_candidate_pairs` — the 100-TB safety
-    valve against a degenerate band bucket going quadratic."""
+    valve against a degenerate band bucket going quadratic; ``"scale"``
+    selects the documented preset."""
     sigs = minhash_signatures(df, key_col, text_col, n, num_perm)
     cands = lsh_candidate_pairs(sigs, bands, num_perm // bands, bucket_cap)
     sh = shingles(df, key_col, text_col, n)
@@ -219,17 +244,27 @@ def all_pairs_jaccard(
     )
 
 
+_free_checkpoint_failures = 0  # observability: >0 means blocks leak to GC
+
+
 def _free_local_checkpoint(df: DataFrame) -> None:
     """Best-effort release of a localCheckpoint's RDD blocks. The blocks
     belong to the LogicalRDD behind the checkpointed frame; probing shows
     ``analyzed().rdd().unpersist(false)`` frees them where
     ``DataFrame.unpersist()`` and ``toRdd().unpersist()`` do not. Guarded:
-    on any API drift the blocks are simply left for GC (the pre-fix
-    behavior), never an error."""
+    on any API drift (a Spark version where the analyzed plan isn't a
+    LogicalRDD) the blocks are simply left for GC (the pre-fix behavior),
+    never an error — but the failure is COUNTED and logged so a silent
+    leak is observable (ADVICE r4); the expected shape is pinned by
+    ``test_free_local_checkpoint_releases_on_this_spark``."""
+    global _free_checkpoint_failures
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+    except Exception as exc:  # pragma: no cover - exercised only on API drift
+        _free_checkpoint_failures += 1
+        logging.getLogger(__name__).warning(
+            "localCheckpoint block release no-op'd (%s); blocks left for GC", exc
+        )
 
 
 def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:

@@ -74,19 +74,42 @@ def decode_media(df: DataFrame, payload_col: str = "payload", *, fake: bool = Fa
             "real one in, or fake=True for the deterministic stand-in"
         )
 
-    @F.pandas_udf(_FEAT_SCHEMA)
-    def feat(payloads: pd.Series) -> pd.Series:
-        def one(b):
-            if b is None:
-                return None
-            if decoder is not None:
-                return [float(x) for x in decoder(bytes(b))]
-            arr = np.frombuffer(b, dtype=np.uint8)
-            hist, _ = np.histogram(arr, bins=feature_dim, range=(0, 256))
-            total = max(1, len(arr))
-            return (hist / total).astype(np.float32).tolist()
+    if decoder is not None:
 
-        return payloads.map(one)
+        @F.pandas_udf(_FEAT_SCHEMA)
+        def feat(payloads: pd.Series) -> pd.Series:
+            # per-payload Python is inherent at the injected-decoder
+            # boundary — a real PIL/ffmpeg call is per-blob anyway
+            return payloads.map(
+                lambda b: None if b is None else [float(x) for x in decoder(bytes(b))]
+            )
+
+    else:
+
+        @F.pandas_udf(_FEAT_SCHEMA)
+        def feat(payloads: pd.Series) -> pd.Series:
+            # fake path vectorized (VERDICT r4 #6): ONE np.bincount over the
+            # batch-concatenated payload buffer with per-payload segments —
+            # the same batch trick as text._winnow_udf — replacing the old
+            # per-row np.histogram. Bin k covers [256k/dim, 256(k+1)/dim),
+            # computed in exact integer math: bin = v * dim // 256.
+            vals = [None if b is None else bytes(b) for b in payloads]
+            n = len(vals)
+            lens = np.array([0 if b is None else len(b) for b in vals], dtype=np.int64)
+            buf = np.frombuffer(
+                b"".join(b for b in vals if b is not None), dtype=np.uint8
+            )
+            bins = (buf.astype(np.int32) * feature_dim) >> 8
+            base = np.repeat(
+                np.arange(0, n * feature_dim, feature_dim, dtype=np.int32), lens
+            )
+            hist = np.bincount(base + bins, minlength=n * feature_dim).reshape(
+                n, feature_dim
+            )
+            feats = (hist / np.maximum(lens, 1)[:, None]).astype(np.float32)
+            return pd.Series(
+                [None if vals[i] is None else feats[i].tolist() for i in range(n)]
+            )
 
     return df.withColumn("features", feat(F.col(payload_col)))
 

@@ -45,6 +45,13 @@ def pack_sequences(
 
     ``order_col`` (default: ``key_col``) must be unique and non-null —
     it defines the deterministic global packing order.
+
+    The input must be DETERMINISTIC across evaluations: the two passes
+    (pass-1 per-range totals, pass-2 range join) each evaluate ``df``, so
+    an input with ``rand()``/sampling upstream, or a source mutating
+    between jobs, would make pass-1 offsets disagree with pass-2 rows and
+    silently mis-assign ``seq_id``/``seq_offset``. Persist such inputs (or
+    write them out) before calling.
     """
     order_col = order_col or key_col
     spark = df.sparkSession

@@ -325,7 +325,7 @@ def embedding_near_dups(
     round_digits: int = 4,
     target_miss: float = 1e-9,
     seed: int = 42,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None | str = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH band equi-join
     generates candidates, exact cosine verifies them. Never a cartesian —
@@ -335,7 +335,8 @@ def embedding_near_dups(
     self-join (same safety valve as dedup.lsh_candidate_pairs) — a
     corpus with thousands of byte-identical embeddings floods one bucket
     and that single join task goes |bucket|² quadratic. ``None`` keeps
-    the exact oracle-checked behavior.
+    the exact oracle-checked behavior; ``"scale"`` selects the documented
+    100-TB preset (``dedup.SCALE_BUCKET_CAP``).
 
     The band plan is sized from (threshold, target_miss) so a qualifying
     pair is missed with probability ≤ target_miss: over C(N,2) test-scale
@@ -344,6 +345,9 @@ def embedding_near_dups(
     thresholds (≥0.8) the buckets prune hard; at low thresholds sign-LSH
     provably cannot prune (candidates approach all pairs) but the plan
     still distributes as an equi-join instead of a nested loop."""
+    from .dedup import resolve_bucket_cap
+
+    bucket_cap = resolve_bucket_cap(bucket_cap)
     b, r = _band_plan(threshold, target_miss)
     sig = _hyperplane_udf(bits=b * r, bands=r, seed=seed)
     v = vectors.select(

@@ -66,11 +66,35 @@ def _arrow_schema_for(spark_schema: StructType) -> pa.Schema:
     return to_arrow_schema(spark_schema)
 
 
-# types with exact int64 zone maps; date/timestamp columns also carry
-# int64 stats (epoch units) but are left row-filter-only here so callers
-# pass natural Python values, not raw epoch integers
+# types with exact int64 zone maps (date/timestamp stats are stored in
+# their Arrow epoch units: microseconds for timestamps, days for dates)
 _INT_TYPES = {"byte", "tinyint", "short", "smallint", "int", "integer",
               "long", "bigint"}
+_TIME_TYPES = {"timestamp", "timestamp_ntz", "date"}
+
+
+def _epoch_long(val, simple: str) -> int:
+    """Convert a natural Python date/datetime filter value to the int64
+    epoch units the encoder's zone maps store (``_zone_map`` casts the
+    Arrow column to int64: timestamp[us] → microseconds, date32 → days).
+    Naive datetimes are interpreted as UTC — the engine pins the session
+    timezone to UTC, so wall-clock values and stored epochs agree."""
+    import calendar
+    import datetime as _dt
+
+    if simple == "date":
+        if isinstance(val, _dt.datetime):
+            val = val.date()
+        if not isinstance(val, _dt.date):
+            raise ValueError(f"date filter value must be datetime.date, got {type(val)}")
+        return (val - _dt.date(1970, 1, 1)).days
+    if not isinstance(val, _dt.datetime):
+        raise ValueError(
+            f"timestamp filter value must be datetime.datetime, got {type(val)}"
+        )
+    if val.tzinfo is not None:
+        return int(val.timestamp() * 1_000_000)
+    return calendar.timegm(val.timetuple()) * 1_000_000 + val.microsecond
 
 
 def _apply_filters(chunks_df: DataFrame, schema: StructType, filters) -> DataFrame:
@@ -94,16 +118,18 @@ def _apply_filters(chunks_df: DataFrame, schema: StructType, filters) -> DataFra
             raise ValueError(f"unsupported filter op {op!r}")
         simple = field.dataType.simpleString()
         is_int = simple in _INT_TYPES
+        is_time = simple in _TIME_TYPES
         is_str = simple == "string"
-        if not (is_int or is_str):
+        if not (is_int or is_time or is_str):
             continue  # no zone maps for this type — row filter still applies
-        prune = prune_chunks_long if is_int else prune_chunks_str
+        pval = _epoch_long(val, simple) if is_time else val
+        prune = prune_chunks_str if is_str else prune_chunks_long
         if op in (">=", ">"):
-            chunks_df = prune(chunks_df, col, lo=val)
+            chunks_df = prune(chunks_df, col, lo=pval)
         elif op in ("<=", "<"):
-            chunks_df = prune(chunks_df, col, hi=val)
+            chunks_df = prune(chunks_df, col, hi=pval)
         else:  # "=="
-            chunks_df = prune(chunks_df, col, lo=val, hi=val)
+            chunks_df = prune(chunks_df, col, lo=pval, hi=pval)
     return chunks_df
 
 

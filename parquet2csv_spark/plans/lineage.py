@@ -14,9 +14,12 @@ Iceberg's atomic append is the production drop-in):
      completes (write-ahead of data, commit = lineage append);
   3. a crash between (1) and (2) leaves orphan chunk files; readers join
      chunks against lineage (status='done') so orphans are invisible, and
-     the next resume re-encodes those groups deterministically
-     (chunk_id = group_key:seq, byte-identical frames modulo codec
-     determinism — verified in tests).
+     the next resume re-encodes those groups multiset-exactly: re-encoded
+     frames may differ byte-for-byte run-to-run (the grouped path's
+     worker-lifetime codec cache makes spec choice schedule-dependent),
+     so ``chunks()`` reads exactly one committed run per group — the
+     min(run_id) semi-join below — and decode equality, not byte identity,
+     is the contract (verified in tests).
 """
 
 from __future__ import annotations
