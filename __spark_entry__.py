@@ -4,7 +4,7 @@
                  sf0.001, returning per-lang bit-identity counts.
 ``queries``    — one entry per implemented operator (SURVEY.md §2.2 plus
                  the training-data ops); each takes (spark, sf_dir).
-``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents (61 of 63 queries,
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents (62 of 64 queries,
                  including the full MinHash/LSH/IVF/winnowing pipelines via
                  portable hashing, pinned-constant oracles for the
                  deterministic engine metrics/corpus summary, a
@@ -772,6 +772,18 @@ def q_contamination_documents(spark, sf_dir):
     return tx.contamination(d, bench, n=8, threshold=0.05)
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream inner join with event-time interval bounds
+    (streaming/windows.interval_join): clicks join same-user signups from
+    the preceding hour, both sides watermarked so join state stays
+    bounded. Inner-join matches emit eagerly (the watermark only evicts
+    state), so the availableNow drain equals the batch SQL join — the
+    oracle."""
+    from parquet2csv_spark.streaming.windows import interval_join
+
+    return interval_join(spark, f"{sf_dir}/events.parquet", within="1 hour")
+
+
 def q_stream_stateful_totals(spark, sf_dir):
     """Custom stateful streaming operator (streaming/stateful.py):
     cross-batch per-user running totals via ``applyInPandasWithState``,
@@ -920,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_stats_events": q_approx_stats_events,
         # new this round (first window slot opens in r6)
         "stratified_sample_salted": q_stratified_sample_salted,
+        "stream_interval_join": q_stream_interval_join,
     }
 
 
@@ -1543,6 +1556,14 @@ def oracle_sql() -> dict[str, str]:
             -- two micro-batches of committed chunks decode back to exactly
             -- the raw table, bit-identical
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "stream_interval_join": """
+            SELECT l.event_id, l.user_id, r.ts AS r_ts,
+                   round(r.value, 2) AS r_value
+            FROM events l JOIN events r
+              ON l.user_id = r.user_id
+             AND l.event_type = 'click' AND r.event_type = 'signup'
+             AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 1 HOUR
         """,
         "asof_join_events": """
             WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -377,9 +377,19 @@ def raw_size(arr: pa.Array) -> int:
         _, values = vec.list_parts(arr)
         return raw_size(values) + 8 * n
     if kind == vec.KIND_STRING:
-        filled = arr.fill_null("") if arr.null_count else arr
-        lengths, _ = vec.string_parts(filled)
-        return int(lengths.sum()) + 4 * n
+        # byte count from the length vector only — the old string_parts
+        # call materialized (copied) the whole concatenated blob per column
+        # per chunk just to sum it (r5 profile: a full extra data pass)
+        import pyarrow.compute as pc
+
+        if arr.null_count:
+            arr = arr.fill_null(
+                b""
+                if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type)
+                else ""
+            )
+        data_len = pc.sum(pc.binary_length(arr)).as_py() or 0
+        return int(data_len) + 4 * n
     if kind == vec.KIND_FLOAT:
         return n * (4 if pa.types.is_float32(arr.type) else 8)
     if kind == vec.KIND_BOOL:

@@ -101,7 +101,9 @@ def _apply_filters(chunks_df: DataFrame, schema: StructType, filters) -> DataFra
     """Route simple predicates through the zone maps before decode.
 
     ``filters`` is parquet-reader style: an iterable of ``(col, op, value)``
-    with op in ``>= > <= < ==``. Each predicate prunes chunks via the
+    with op in ``>= > <= < == in`` (``in`` takes a non-empty value list and
+    prunes on the conservative ``[min, max]`` envelope). Each predicate
+    prunes chunks via the
     matching zone-map stats (conservative: chunks without stats survive);
     the same predicate is re-applied row-exactly on the decoded output by
     :func:`decode_table`, so pruning only changes WHAT IS SCANNED, never
@@ -111,25 +113,31 @@ def _apply_filters(chunks_df: DataFrame, schema: StructType, filters) -> DataFra
         field = next((f for f in schema.fields if f.name == col), None)
         if field is None:
             raise ValueError(f"filter column {col!r} not in decode schema")
-        if op not in (">=", ">", "<=", "<", "=="):
+        if op not in (">=", ">", "<=", "<", "==", "in"):
             # validate BEFORE the type dispatch: a bad op on a column
             # without zone maps must raise the same clear error, not a
             # KeyError later in the row-filter stage
             raise ValueError(f"unsupported filter op {op!r}")
+        if op == "in" and not val:
+            raise ValueError(f"'in' filter on {col!r} needs a non-empty value list")
         simple = field.dataType.simpleString()
         is_int = simple in _INT_TYPES
         is_time = simple in _TIME_TYPES
         is_str = simple == "string"
         if not (is_int or is_time or is_str):
             continue  # no zone maps for this type — row filter still applies
-        pval = _epoch_long(val, simple) if is_time else val
+        conv = (lambda v: _epoch_long(v, simple)) if is_time else (lambda v: v)
         prune = prune_chunks_str if is_str else prune_chunks_long
         if op in (">=", ">"):
-            chunks_df = prune(chunks_df, col, lo=pval)
+            chunks_df = prune(chunks_df, col, lo=conv(val))
         elif op in ("<=", "<"):
-            chunks_df = prune(chunks_df, col, hi=pval)
-        else:  # "=="
+            chunks_df = prune(chunks_df, col, hi=conv(val))
+        elif op == "==":
+            pval = conv(val)
             chunks_df = prune(chunks_df, col, lo=pval, hi=pval)
+        else:  # "in": conservative envelope [min(vals), max(vals)]
+            pvals = [conv(v) for v in val]
+            chunks_df = prune(chunks_df, col, lo=min(pvals), hi=max(pvals))
     return chunks_df
 
 
@@ -142,7 +150,7 @@ def decode_table(
     """Reconstruct the original table from its encoded chunks.
 
     ``filters`` — optional parquet-reader-style predicates
-    ``[(col, op, value), ...]`` with op in ``>= > <= < ==``. Exact row
+    ``[(col, op, value), ...]`` with op in ``>= > <= < == in``. Exact row
     semantics (the predicate is applied to the decoded rows), but chunks
     whose zone maps prove no row can match are pruned BEFORE the Arrow
     decode — a selective decode touches only matching chunks' frames
@@ -203,8 +211,9 @@ def decode_table(
         ops = {
             ">=": lambda c, v: c >= v, ">": lambda c, v: c > v,
             "<=": lambda c, v: c <= v, "<": lambda c, v: c < v,
-            "==": lambda c, v: c == v,
+            "==": lambda c, v: c == v, "in": lambda c, v: c.isin(list(v)),
         }
         for col, op, val in filters:
-            out = out.filter(ops[op](F.col(col), F.lit(val)))
+            arg = list(val) if op == "in" else F.lit(val)
+            out = out.filter(ops[op](F.col(col), arg))
     return out

@@ -113,6 +113,63 @@ def session_windowed_counts(
     )
 
 
+def interval_join(
+    spark: SparkSession,
+    events_path: str,
+    left_type: str = "click",
+    right_type: str = "signup",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    each ``left_type`` event joins every ``right_type`` event of the same
+    user whose timestamp is within ``[ts - within, ts]`` — the streaming
+    attribution join (click ← recent signup).
+
+    Both sides carry watermarks, so join state is bounded: a right-side
+    row is evicted once the watermark passes ``r_ts + within`` (Spark
+    derives the state horizon from the join's time bounds). Inner joins
+    emit each match as soon as both rows have arrived — the watermark
+    only governs state cleanup, never holds results back — so draining
+    with ``availableNow`` yields the complete inner join, equal to the
+    batch SQL join (the oracle). At scale the join shuffles both sides by
+    the equality key (user_id), the same exchange shape as a batch
+    equi-join, with per-key state instead of a build table."""
+    def build(stream):
+        left = (
+            stream.filter(F.col("event_type") == left_type)
+            .select(
+                F.col("event_id").alias("l_event_id"),
+                "user_id",
+                F.col("ts").alias("l_ts"),
+            )
+            .withWatermark("l_ts", watermark)
+        )
+        right = (
+            stream.filter(F.col("event_type") == right_type)
+            .select(
+                F.col("user_id").alias("r_user_id"),
+                F.col("ts").alias("r_ts"),
+                F.col("value").alias("r_value"),
+            )
+            .withWatermark("r_ts", watermark)
+        )
+        return left.join(
+            right,
+            F.expr(
+                f"user_id = r_user_id AND l_ts >= r_ts "
+                f"AND l_ts <= r_ts + interval {within}"
+            ),
+            "inner",
+        )
+
+    return _drain_stream(
+        spark, events_path, build, "append",
+        "SELECT l_event_id AS event_id, user_id, r_ts, "
+        "round(r_value, 2) AS r_value FROM {name}",
+    )
+
+
 def streaming_dedup(
     spark: SparkSession,
     events_path: str,

@@ -216,6 +216,17 @@ def test_decode_table_filters_prune_chunks_and_match_rows(spark):
         # string zone maps route too
         got_s = decode_table(chunks, ddl, filters=[("text", "==", "body 7")])
         assert [r["doc_id"] for r in got_s.collect()] == [7]
+        # "in" prunes on the [min, max] envelope and row-filters exactly
+        n_in = _apply_filters(
+            chunks, _parse_datatype_string(ddl), [("doc_id", "in", [10, 12])]
+        ).count()
+        assert n_in < n_all
+        got_in = decode_table(chunks, ddl, filters=[("doc_id", "in", [10, 12])])
+        assert sorted(r["doc_id"] for r in got_in.collect()) == [10, 12]
+        import pytest
+
+        with pytest.raises(ValueError, match="non-empty"):
+            decode_table(chunks, ddl, filters=[("doc_id", "in", [])]).count()
     finally:
         chunks.unpersist()
 

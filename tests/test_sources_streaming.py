@@ -119,6 +119,32 @@ def test_streaming_incremental_encode(spark, tmp_path):
     assert multiset_diff(expected, dec).count() == 0
 
 
+def test_stream_interval_join_boundaries(spark, tmp_path):
+    """Stream-stream interval join: a click exactly `within` after the
+    signup still joins (<=), one microsecond beyond does not; clicks
+    before the signup never join; cross-user pairs never join."""
+    import datetime
+
+    from parquet2csv_spark.streaming.windows import interval_join
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    hour = datetime.timedelta(hours=1)
+    us = datetime.timedelta(microseconds=1)
+    ddl = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = [
+        (1, base, 7, "signup", 5.0),
+        (2, base + hour, 7, "click", 0.0),          # exactly +1h → joins
+        (3, base + hour + us, 7, "click", 0.0),     # +1h+1us → no
+        (4, base - us, 7, "click", 0.0),            # before signup → no
+        (5, base + hour, 8, "click", 0.0),          # other user → no
+        (6, base + datetime.timedelta(minutes=5), 7, "click", 0.0),  # joins
+    ]
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(p)
+    got = {r["event_id"] for r in interval_join(spark, p, within="1 hour").collect()}
+    assert got == {2, 6}
+
+
 def test_stateful_running_totals_across_batches(spark, tmp_path):
     import datetime
 
