@@ -37,5 +37,8 @@ def test_queries_and_oracles_align():
         "embedding_near_dups", "embedding_centroids", "exact_stats_events",
         "csv_format_uuid_decimal", "token_count_bpe_documents",
         "multimodal_frames",
+        # round 5: the previously-ungated streaming modules + new ops
+        "stream_stateful_totals", "stream_incremental_encode",
+        "stream_interval_join", "stratified_sample_salted",
     ]:
         assert must in oracles, must
