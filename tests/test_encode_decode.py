@@ -282,6 +282,110 @@ def test_decode_table_time_filters_prune_chunks(spark):
         chunks.unpersist()
 
 
+def test_epoch_long_exact_for_tz_aware_microseconds():
+    """ADVICE r5 (medium): tz-aware datetimes must convert with exact
+    integer arithmetic — ``int(val.timestamp() * 1e6)`` rounds ~3% of
+    microsecond-bearing epochs by ±1µs, and an off-by-one-down bound on
+    ``==``/``<=``/``in`` prunes chunks whose min equals the true value,
+    silently dropping matching rows."""
+    import datetime
+
+    from parquet2csv_spark.operators.decode import _epoch_long
+
+    base_s = 1_700_000_000  # a modern epoch where float64 has ~µs ulp
+    for us in range(0, 1_000_000, 7_777):
+        want = base_s * 1_000_000 + us
+        aware = datetime.datetime.fromtimestamp(
+            base_s, tz=datetime.timezone.utc
+        ).replace(microsecond=us)
+        assert _epoch_long(aware, "timestamp") == want, us
+        # naive path (calendar.timegm + microsecond) must agree exactly
+        naive = aware.replace(tzinfo=None)
+        assert _epoch_long(naive, "timestamp") == want, us
+
+
+def test_decode_tz_aware_microsecond_equality_filter(spark):
+    """End-to-end twin of the exactness fix: a tz-aware, microsecond-
+    bearing ``==`` filter must keep the chunk holding the row (pruning is
+    bound-exact) and return exactly that row."""
+    import datetime
+
+    base = datetime.datetime(2024, 5, 1)
+    ddl = "event_id bigint, ts timestamp"
+    df = spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(seconds=i, microseconds=(i * 7_777) % 1_000_000))
+            for i in range(2000)
+        ],
+        ddl,
+    )
+    chunks = encode_table(df.orderBy("event_id").coalesce(1), chunk_rows=250)
+    target = base + datetime.timedelta(
+        seconds=1999, microseconds=(1999 * 7_777) % 1_000_000
+    )
+    aware = target.replace(tzinfo=datetime.timezone.utc)
+    got = decode_table(chunks, ddl, filters=[("ts", "==", aware)]).collect()
+    assert [r["event_id"] for r in got] == [1999]
+
+
+def test_in_filter_prunes_per_value_for_sparse_lists(spark):
+    """VERDICT r5 #4: an ``in`` list of ≤16 values prunes per-value (union
+    of point prunes) — a sparse list like (5, 3900) keeps only the two
+    chunks that can hold those values, where the old [min,max] envelope
+    covered every chunk and pruned nothing. Longer lists fall back to the
+    envelope; row results are identical either way."""
+    from parquet2csv_spark.operators.decode import _apply_filters
+    from pyspark.sql.types import _parse_datatype_string
+
+    ddl = "doc_id bigint, text string"
+    schema = _parse_datatype_string(ddl)
+    df = spark.createDataFrame([(i, f"body {i}") for i in range(4000)], ddl)
+    chunks = encode_table(df.orderBy("doc_id").coalesce(1), chunk_rows=500)
+    chunks.cache()
+    try:
+        n_all = chunks.count()
+        assert n_all == 8
+        # sparse list: first and last chunk only — the envelope keeps all 8
+        n_sparse = _apply_filters(chunks, schema, [("doc_id", "in", [5, 3900])]).count()
+        assert n_sparse == 2
+        got = decode_table(chunks, ddl, filters=[("doc_id", "in", [5, 3900])])
+        assert sorted(r["doc_id"] for r in got.collect()) == [5, 3900]
+        # >16 distinct values: envelope fallback, still row-exact
+        big = [5, 3900] + list(range(1000, 1017))
+        got_big = decode_table(chunks, ddl, filters=[("doc_id", "in", big)])
+        assert sorted(r["doc_id"] for r in got_big.collect()) == sorted(big)
+    finally:
+        chunks.unpersist()
+
+
+def test_selective_decode_events_gate_prunes(spark):
+    """Pruning proof for the ``selective_decode_events`` gate row
+    (VERDICT r5 #3): the same build the gate runs — events ordered by ts,
+    chunk_rows=2048, ts range filter — scans strictly fewer chunks than
+    the total, and the decoded rows equal the plain parquet range scan."""
+    import datetime
+
+    from parquet2csv_spark.operators.decode import _apply_filters
+
+    src = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    chunks = encode_table(src.orderBy("ts"), chunk_rows=2048)
+    chunks.cache()
+    try:
+        lo = datetime.datetime(2024, 1, 10)
+        hi = datetime.datetime(2024, 1, 15)
+        filters = [("ts", ">=", lo), ("ts", "<", hi)]
+        n_all = chunks.count()
+        n_kept = _apply_filters(chunks, src.schema, filters).count()
+        assert 0 < n_kept < n_all, (n_kept, n_all)
+        got = decode_table(chunks, src.schema, filters=filters)
+        want = src.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        assert multiset_diff(want, got.select(*src.columns)).count() == 0
+        n = got.count()
+        assert n == want.count() and n > 0
+    finally:
+        chunks.unpersist()
+
+
 def test_grouped_encode_null_order_cols_sort_last(spark):
     """ADVICE r3: the within-group sort pins asc_nulls_last (the pyarrow
     convention chunk determinism was defined under), not Spark's default

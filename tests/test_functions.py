@@ -645,6 +645,12 @@ def test_stratified_sample_salted(spark):
     with pytest.raises(ValueError):
         stratified_sample(df, "lang", "doc_id", every=0)
 
+    # ADVICE r5: reserved internal column names must fail loudly, not be
+    # silently overwritten and dropped
+    clash = df.withColumn("_rn", F.lit(1))
+    with pytest.raises(ValueError, match="_rn"):
+        stratified_sample(clash, "lang", "doc_id", every=10)
+
 
 def test_dup_clusters_deep_chain_converges(spark):
     """VERDICT r3 #5: a path graph (diameter ≫ checkpoint interval) needs
