@@ -128,14 +128,24 @@ _EVEN = np.zeros(_TILE, dtype=bool)
 _EVEN[::2] = True
 
 
-def _compress_tile(arr: np.ndarray, levels: list[list[tuple[int, int, int]]]) -> np.ndarray:
+def _level_luts(levels: list[list[tuple[int, int, int]]]) -> list[np.ndarray]:
+    """One pair→code LUT per level, built once per compress() call — the
+    tables are identical for every tile, and rebuilding 64 KiB LUTs inside
+    the per-tile loop showed up in the r6 encode profile."""
+    luts = []
     for level in levels:
-        n = len(arr)
-        if n < 2:
-            break
         lut = np.zeros(65536, dtype=np.uint8)
         for code, left, right in level:
             lut[(left << 8) | right] = code
+        luts.append(lut)
+    return luts
+
+
+def _compress_tile(arr: np.ndarray, luts: list[np.ndarray]) -> np.ndarray:
+    for lut in luts:
+        n = len(arr)
+        if n < 2:
+            break
         pair_ids = (arr[:-1].astype(np.uint16) << np.uint16(8)) | arr[1:]
         m = lut[pair_ids]
         match = m != 0
@@ -157,8 +167,13 @@ def _compress_tile(arr: np.ndarray, levels: list[list[tuple[int, int, int]]]) ->
         # delete absorbed bytes first, then patch codes at their shifted
         # slots: kept matches are ≥2 apart, so exactly j deletions precede
         # kept match j and its new index is ki[j] - j (avoids the full
-        # arr.copy() of the substitute-then-delete form)
-        out = np.delete(arr, ki + 1)
+        # arr.copy() of the substitute-then-delete form). Hand-built mask +
+        # boolean index instead of np.delete: identical output, but
+        # np.delete's Python-level generality cost ~17% of the whole
+        # single-thread encode in the r6 profile
+        mask = np.ones(n, dtype=bool)
+        mask[ki + 1] = False
+        out = arr[mask]
         out[ki - np.arange(len(ki))] = m[ki]
         arr = out
     return arr
@@ -179,12 +194,12 @@ def compress(blob: bytes, merges: list[tuple[int, int, int]]) -> bytes:
         # the decode pipeline passes memoryviews; honor the declared
         # ``bytes`` return type even on the no-op path
         return bytes(blob)
-    levels = _levels(merges)
+    luts = _level_luts(_levels(merges))
     full = np.frombuffer(blob, dtype=np.uint8)
     if len(full) <= _TILE:
-        return _compress_tile(full, levels).tobytes()
+        return _compress_tile(full, luts).tobytes()
     tiles = [
-        _compress_tile(full[t : t + _TILE], levels)
+        _compress_tile(full[t : t + _TILE], luts)
         for t in range(0, len(full), _TILE)
     ]
     return np.concatenate(tiles).tobytes()
