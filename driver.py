@@ -5,7 +5,8 @@ plus the encode/decode/resume job the reference lacks.
 
     spark-submit --py-files p2c.zip driver.py encode \
         --input /data/source_code --out /data/enc --job-id nightly
-    spark-submit ... driver.py decode --chunks /data/enc --schema-json s.json --out /data/restored
+    spark-submit ... driver.py decode --chunks /data/enc --schema-json s.json --out /data/restored \
+        --filter "ts >= 2024-01-10T00:00:00"   # selective decode via zone maps (repeatable)
     spark-submit ... driver.py csv --input f.parquet --out f_csv        # entry point A
     spark-submit ... driver.py to-json --input f.parquet --out f.schema.json   # B
     spark-submit ... driver.py from-json --input f.schema.json --out footer_only  # C
@@ -52,6 +53,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--decode-job-id", default=None,
         help="pin the encode job_id to decode (default: latest)",
     )
+    dec.add_argument(
+        "--filter", action="append", default=[], dest="filters",
+        metavar="'COL OP VALUE'",
+        help="selective decode: predicate routed through the chunk zone "
+             "maps (chunks that provably can't match are never decoded), "
+             "then re-applied row-exactly. Repeatable (AND semantics). OP "
+             "in >= > <= < == in; 'in' joins values with '|'. Dates/"
+             "timestamps in ISO form. Examples: \"ts >= 2024-01-10T00:00:00\""
+             ", \"doc_id in 5|9000000\"",
+    )
 
     ver = sub.add_parser("verify", help="bit-identity check: chunks vs source")
     ver.add_argument("--input", required=True)
@@ -74,6 +85,52 @@ def build_parser() -> argparse.ArgumentParser:
     ors.add_argument("--input", required=True)
     ors.add_argument("--out", required=True)
     return p
+
+
+def _parse_cli_filters(specs: list[str], schema) -> list[tuple]:
+    """``--filter 'COL OP VALUE'`` strings → decode_table filter triples,
+    with VALUE parsed by the schema type of COL (ISO dates/timestamps,
+    ints, floats, decimals; anything else stays a string). ``in`` takes a
+    ``|``-joined value list. Errors are argparse-style SystemExit so a bad
+    predicate fails the command before any Spark work."""
+    import datetime
+    import decimal
+
+    _INTS = {"byte", "tinyint", "short", "smallint", "int", "integer",
+             "long", "bigint"}
+
+    def conv(raw: str, t: str):
+        if t in _INTS:
+            return int(raw)
+        if t in ("float", "double"):
+            return float(raw)
+        if t == "date":
+            return datetime.date.fromisoformat(raw)
+        if t in ("timestamp", "timestamp_ntz"):
+            return datetime.datetime.fromisoformat(raw)
+        if t.startswith("decimal"):
+            return decimal.Decimal(raw)
+        return raw
+
+    out: list[tuple] = []
+    for spec in specs:
+        parts = spec.split(None, 2)
+        if len(parts) != 3:
+            raise SystemExit(f"bad --filter {spec!r}: expected 'COL OP VALUE'")
+        col, op, raw = parts
+        if op not in (">=", ">", "<=", "<", "==", "in"):
+            raise SystemExit(f"bad --filter op {op!r}: use >= > <= < == in")
+        field = next((f for f in schema.fields if f.name == col), None)
+        if field is None:
+            raise SystemExit(f"--filter column {col!r} not in the decode schema")
+        t = field.dataType.simpleString()
+        try:
+            val = ([conv(v, t) for v in raw.split("|")] if op == "in"
+                   else conv(raw, t))
+        except (ValueError, decimal.InvalidOperation) as e:
+            raise SystemExit(f"bad --filter value {raw!r} for {t} column {col!r}: {e}")
+        out.append((col, op, val))
+    return out
 
 
 def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
@@ -108,6 +165,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         from parquet2csv_spark.operators import decode_table
 
         schema = StructType.fromJson(json.load(open(args.schema_json)))
+        filters = _parse_cli_filters(args.filters, schema) or None
         # accept either a raw chunks dir or an EncodeJob out_dir (whose
         # layout is <out>/chunks/run=*/ + <out>/lineage/): in the latter
         # case decode ONLY lineage-committed chunks of ONE (snapshot_id,
@@ -161,8 +219,13 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         else:
             chunks = spark.read.parquet(args.chunks)
             picked = {}
-        decode_table(chunks, schema).write.mode("overwrite").parquet(args.out)
-        print(json.dumps({"decoded_to": args.out, **picked}))
+        decode_table(chunks, schema, filters=filters).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        out_info = {"decoded_to": args.out, **picked}
+        if filters:
+            out_info["filters"] = [[c, o, str(v)] for c, o, v in filters]
+        print(json.dumps(out_info))
     elif args.cmd == "verify":
         from parquet2csv_spark.operators import decode_table, multiset_diff
         from parquet2csv_spark.plans.lineage import EncodeJob

@@ -113,3 +113,54 @@ def test_cli_decode_pins_one_generation(spark, tmp_path, capsys):
                         "--schema-json", f"{out}/schema.json", "--out", str(tmp_path / "nope"),
                         "--decode-job-id", "missing"]) == 3
     capsys.readouterr()
+
+
+def test_cli_decode_filter_selective(spark, tmp_path, capsys):
+    """--filter pushes predicates through the zone maps (selective decode
+    at the CLI surface, r6): typed value parsing from the schema, AND
+    semantics across repeated flags, '|'-joined in-lists, loud usage
+    errors for malformed specs."""
+    import pytest
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"repo{i % 3}", f"path/{i:04d}.py", f"c{i:06d}", f"text body {i}")
+         for i in range(300)],
+        "id long, repo string, path string, commit string, content string",
+    ).write.parquet(src)
+    out = str(tmp_path / "enc")
+    assert driver.main(stop_session=False, argv=[
+        "--cpus", "4", "encode", "--input", src, "--out", out,
+        "--group-cols", "repo", "--order-cols", "path,commit"]) in (0, None)
+    capsys.readouterr()
+
+    dec = str(tmp_path / "dec")
+    assert driver.main(stop_session=False, argv=[
+        "--cpus", "4", "decode", "--chunks", out,
+        "--schema-json", f"{out}/schema.json", "--out", dec,
+        "--filter", "id >= 250", "--filter", "repo == repo1"]) in (0, None)
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["filters"] == [["id", ">=", "250"], ["repo", "==", "repo1"]]
+    got = spark.read.parquet(dec)
+    srcdf = spark.read.parquet(src)
+    want = srcdf.filter("id >= 250 AND repo = 'repo1'")
+    assert multiset_diff(want, got).count() == 0
+    assert got.count() == want.count() > 0
+
+    # '|'-joined in-list
+    dec2 = str(tmp_path / "dec2")
+    assert driver.main(stop_session=False, argv=[
+        "--cpus", "4", "decode", "--chunks", out,
+        "--schema-json", f"{out}/schema.json", "--out", dec2,
+        "--filter", "id in 5|250"]) in (0, None)
+    capsys.readouterr()
+    assert sorted(r["id"] for r in spark.read.parquet(dec2).collect()) == [5, 250]
+
+    # malformed specs fail before any Spark work, argparse-style
+    for bad in ("id>=250", "id ~ 3", "id >= notanint", "nope == 1"):
+        with pytest.raises(SystemExit):
+            driver.main(stop_session=False, argv=[
+                "--cpus", "4", "decode", "--chunks", out,
+                "--schema-json", f"{out}/schema.json",
+                "--out", str(tmp_path / "x"), "--filter", bad])
+    capsys.readouterr()

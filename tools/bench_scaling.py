@@ -26,6 +26,9 @@ import sys
 ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 WORK = "/tmp/p2c_scaling"
+# where the markdown summary lands; point elsewhere (e.g.
+# BENCH/SCALING_r6.md) to keep a prior round's BASELINE.md analysis intact
+OUT_MD = os.environ.get("SPARK_GRAFT_SCALE_OUT", "BENCH/BASELINE.md")
 
 _CHILD = r"""
 import json, sys, time
@@ -120,7 +123,7 @@ def main() -> None:
             for a, b in pairs
         ]
         extra = "\n" + "\n".join(extra_lines)
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open(OUT_MD, "w") as f:
         f.write(
             "# BENCH/BASELINE — measured\n\n"
             "Two-parallelism-level scaling evidence for the north_rule's N→4N\n"
