@@ -124,6 +124,25 @@ def q_selective_decode_events(spark, sf_dir):
     ).select(*EVENTS_COLS)
 
 
+def q_selective_decode_point_lookup(spark, sf_dir):
+    """VERDICT r6 #3: gate the Bloom membership pruning path — the other
+    canonical 100-TB access pattern is a POINT lookup ("fetch this one
+    path") on a high-cardinality string column the chunks are NOT sorted
+    by. Customers are encoded ordered by ``c_acctbal``, so every chunk's
+    ``c_name`` prefix [lo,hi] spans nearly the whole value space and zone
+    maps alone prune ~nothing; the per-chunk Bloom filter
+    (operators.bloom) keeps only chunks that may contain the value (~1 of
+    6 here, fp ~0.2%), with the predicate re-applied row-exactly. Oracle:
+    the plain SQL point lookup. Chunks-scanned < total is pinned by
+    pytest ``test_bloom_membership_pruning_point_lookup``."""
+    src = _T(spark, sf_dir, "customer")
+    target = src.filter(F.col("c_custkey") == 42).select("c_name").first()["c_name"]
+    chunks = encode_table(src.orderBy("c_acctbal"), chunk_rows=256)
+    return decode_table(
+        chunks, src.schema, filters=[("c_name", "==", target)]
+    ).select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
 def q_setop_high_value_orders(spark, sf_dir):
     o = _T(spark, sf_dir, "orders")
     return o.select("o_orderkey", "o_custkey").exceptAll(
@@ -873,25 +892,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the driver contract: the correctness harness
     # checks exactly the FIRST 50 entries, so entries rotate so every
     # operator family gets a hard-signal oracle row at least on alternate
-    # rounds (VERDICT r3 #1). r6 window (VERDICT r5 #2): the 10 rows whose
-    # first green landed in r4 rotate BACK in (streaming windows ×2, as-of
-    # join, JSON extract, multimodal ×3, packing, repetition,
-    # contamination), the two never-gated r5 additions get their first hard
-    # rows (stratified_sample_salted, stream_interval_join), and the NEW
-    # selective_decode_events gates the zone-map pruning path (VERDICT r5
-    # #3). Rotated OUT to the tail: the 8 rows that came back in r5
-    # (grouping sets ×5, csv_format_timestamps, token_count, systematic
-    # sample), the two r5-first-green streaming rows (streaming stays
-    # represented in-window by windowed counts / sessionize / interval
-    # join), and three long-stable text/sampling rows whose families stay
-    # represented (plain stratified sample → salted twin; BPE token count →
-    # token histogram; percentile cutoff → quality scores).
+    # rounds (VERDICT r3 #1). r7 window (VERDICT r6 #4): the 13 tail rows
+    # judge-verified green in r6 rotate BACK in (grouping sets ×5,
+    # csv_format_timestamps, token_count + BPE twin, systematic + plain
+    # stratified samples, stateful ×2, percentile cutoff), and the NEW
+    # selective_decode_point_lookup gates the Bloom membership pruning
+    # path (VERDICT r6 #3) in a first-window slot. Rotated OUT to the
+    # tail: the 10 rows that came back in r6 (as-of join, JSON extract,
+    # multimodal ×3, packing, repetition, contamination, streaming
+    # windowed counts + sessionize — streaming stays represented in-window
+    # by interval join, stateful totals, incremental encode), and four
+    # long-stable rows whose families stay represented (winnow →
+    # fingerprint; jaccard pairs → minhash/simhash suite; langid →
+    # quality/token suite; embedding centroids → ANN ×3 + near-dups).
     return {
         "roundtrip_documents": q_roundtrip_documents,
         "roundtrip_lineitem": q_roundtrip_lineitem,
         "roundtrip_events": q_roundtrip_events,
         "roundtrip_embeddings": q_roundtrip_embeddings,
         "selective_decode_events": q_selective_decode_events,
+        "selective_decode_point_lookup": q_selective_decode_point_lookup,
         "setop_high_value_orders": q_setop_high_value_orders,
         "encode_verify_documents": q_encode_verify_documents,
         "encode_metrics_documents": q_encode_metrics_documents,
@@ -901,14 +921,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_row_text_events": q_csv_row_text_events,
         "csv_format_floats_short": q_csv_format_floats_short,
         "csv_format_uuid_decimal": q_csv_format_uuid_decimal,
+        "csv_format_timestamps": q_csv_format_timestamps,
         "agg_pricing_summary": q_agg_pricing_summary,
+        "cube_pricing": q_cube_pricing,
+        "rollup_pricing": q_rollup_pricing,
+        "grouping_sets_pricing": q_grouping_sets_pricing,
+        "pivot_pricing": q_pivot_pricing,
+        "unpivot_region": q_unpivot_region,
         "window_topk_orders": q_window_topk_orders,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
         "selector_stats_documents": q_selector_stats_documents,
+        "stream_interval_join": q_stream_interval_join,
+        "stream_stateful_totals": q_stream_stateful_totals,
+        "stream_incremental_encode": q_stream_incremental_encode,
+        "stratified_sample_salted": q_stratified_sample_salted,
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "sample_documents_systematic": q_sample_documents_systematic,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "curate_training_documents": q_curate_training_documents,
+        "quality_scores_documents": q_quality_scores_documents,
+        "quality_percentile_cutoff": q_quality_percentile_cutoff,
+        "token_histogram_documents": q_token_histogram_documents,
+        "token_count_documents": q_token_count_documents,
+        "token_count_bpe_documents": q_token_count_bpe_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "simhash_documents": q_simhash_documents,
+        "minhash_signatures_documents": q_minhash_signatures,
+        "minhash_near_dups": q_minhash_near_dups,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "sessionize_events": q_sessionize_events,
+        "exact_stats_events": q_exact_stats_events,
+        # ---- tail (positions 51+, outside the driver's 50-slot window) ----
+        # stable-green rows rotated out per the alternate-round policy; all
+        # stay pytest- and check_oracles-verified and rotate back in r8
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_sessionize_events": q_stream_sessionize_events,
-        "stream_interval_join": q_stream_interval_join,
         "asof_join_events": q_asof_join_events,
         "json_extract_events": q_json_extract_events,
         "multimodal_bytes": q_multimodal_bytes,
@@ -917,42 +969,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_documents": q_pack_sequences_documents,
         "repetition_ratio_documents": q_repetition_ratio_documents,
         "contamination_documents": q_contamination_documents,
-        "stratified_sample_salted": q_stratified_sample_salted,
-        "dedup_exact_documents": q_dedup_exact_documents,
-        "curate_training_documents": q_curate_training_documents,
-        "quality_scores_documents": q_quality_scores_documents,
-        "token_histogram_documents": q_token_histogram_documents,
-        "langid_documents": q_langid_documents,
-        "fingerprint_documents": q_fingerprint_documents,
         "winnow_fingerprints_documents": q_winnow_documents,
-        "simhash_documents": q_simhash_documents,
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
-        "minhash_signatures_documents": q_minhash_signatures,
-        "minhash_near_dups": q_minhash_near_dups,
-        "dedup_clusters_documents": q_dedup_clusters_documents,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "embedding_near_dups": q_embedding_near_dups,
+        "langid_documents": q_langid_documents,
         "embedding_centroids": q_embedding_centroids,
-        "sessionize_events": q_sessionize_events,
-        "exact_stats_events": q_exact_stats_events,
-        # ---- tail (positions 51+, outside the driver's 50-slot window) ----
-        # stable-green rows rotated out per the alternate-round policy; all
-        # stay pytest- and check_oracles-verified and rotate back in r7
-        "cube_pricing": q_cube_pricing,
-        "rollup_pricing": q_rollup_pricing,
-        "grouping_sets_pricing": q_grouping_sets_pricing,
-        "pivot_pricing": q_pivot_pricing,
-        "unpivot_region": q_unpivot_region,
-        "csv_format_timestamps": q_csv_format_timestamps,
-        "token_count_documents": q_token_count_documents,
-        "sample_documents_systematic": q_sample_documents_systematic,
-        "stream_stateful_totals": q_stream_stateful_totals,
-        "stream_incremental_encode": q_stream_incremental_encode,
-        "stratified_sample_documents": q_stratified_sample_documents,
-        "token_count_bpe_documents": q_token_count_bpe_documents,
-        "quality_percentile_cutoff": q_quality_percentile_cutoff,
         # no_oracle-by-design twins (can't contribute a green row)
         "csv_format_floats": q_csv_format_floats,
         "approx_stats_events": q_approx_stats_events,
@@ -1164,6 +1184,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
               AND ts <  TIMESTAMP '2024-01-15 00:00:00'
         """,
+        "selective_decode_point_lookup": """
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM customer
+            WHERE c_name = (SELECT c_name FROM customer WHERE c_custkey = 42)
+        """,
         "roundtrip_embeddings": """
             SELECT vec_id,
                    array_to_string(
@@ -1240,12 +1265,14 @@ def oracle_sql() -> dict[str, str]:
             -- documents table and the codec selector is deterministic, so
             -- any codec/selector drift must BREAK this row, not pass a
             -- rows-only check (captured from a verified run)
+            -- re-pinned r7 for frame-format v2 (zstd transport,
+            -- VERDICT r6 #2); raw_bytes/n_chunks unchanged by design
             SELECT * FROM (VALUES
               ('doc_id',  CAST(1 AS BIGINT), CAST(4000 AS BIGINT),   CAST(33 AS BIGINT)),
-              ('lang',    CAST(1 AS BIGINT), CAST(3000 AS BIGINT),   CAST(254 AS BIGINT)),
+              ('lang',    CAST(1 AS BIGINT), CAST(3000 AS BIGINT),   CAST(267 AS BIGINT)),
               ('n_chars', CAST(1 AS BIGINT), CAST(4000 AS BIGINT),   CAST(593 AS BIGINT)),
-              ('source',  CAST(1 AS BIGINT), CAST(4250 AS BIGINT),   CAST(148 AS BIGINT)),
-              ('text',    CAST(1 AS BIGINT), CAST(151174 AS BIGINT), CAST(24169 AS BIGINT))
+              ('source',  CAST(1 AS BIGINT), CAST(4250 AS BIGINT),   CAST(180 AS BIGINT)),
+              ('text',    CAST(1 AS BIGINT), CAST(151174 AS BIGINT), CAST(24744 AS BIGINT))
             ) AS t(col, n_chunks, raw_bytes, enc_bytes)
         """,
         "corpus_roundtrip": """

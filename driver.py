@@ -98,6 +98,12 @@ def _parse_cli_filters(specs: list[str], schema) -> list[tuple]:
 
     _INTS = {"byte", "tinyint", "short", "smallint", "int", "integer",
              "long", "bigint"}
+    # types the row-exact re-apply can compare natively; anything else
+    # (binary, arrays, maps, structs) is rejected at parse time so the
+    # error is an argparse-style SystemExit, not a runtime cast failure
+    # deep in the Spark job (ADVICE r6)
+    _FILTERABLE = _INTS | {"float", "double", "date", "timestamp",
+                           "timestamp_ntz", "string", "boolean"}
 
     def conv(raw: str, t: str):
         if t in _INTS:
@@ -110,6 +116,12 @@ def _parse_cli_filters(specs: list[str], schema) -> list[tuple]:
             return datetime.datetime.fromisoformat(raw)
         if t.startswith("decimal"):
             return decimal.Decimal(raw)
+        if t == "boolean":
+            if raw.lower() in ("true", "1"):
+                return True
+            if raw.lower() in ("false", "0"):
+                return False
+            raise ValueError(f"expected true/false, got {raw!r}")
         return raw
 
     out: list[tuple] = []
@@ -124,6 +136,12 @@ def _parse_cli_filters(specs: list[str], schema) -> list[tuple]:
         if field is None:
             raise SystemExit(f"--filter column {col!r} not in the decode schema")
         t = field.dataType.simpleString()
+        if not (t in _FILTERABLE or t.startswith("decimal")):
+            raise SystemExit(
+                f"--filter column {col!r} has type {t}, which the row "
+                f"filter can't compare; filterable types: int/float/"
+                f"decimal/date/timestamp/string/boolean"
+            )
         try:
             val = ([conv(v, t) for v in raw.split("|")] if op == "in"
                    else conv(raw, t))
@@ -224,7 +242,12 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         ).parquet(args.out)
         out_info = {"decoded_to": args.out, **picked}
         if filters:
-            out_info["filters"] = [[c, o, str(v)] for c, o, v in filters]
+            # echo 'in' values in the '|'-joined form the CLI accepts so
+            # the printed spec round-trips back into --filter (ADVICE r6)
+            out_info["filters"] = [
+                [c, o, "|".join(map(str, v)) if o == "in" else str(v)]
+                for c, o, v in filters
+            ]
         print(json.dumps(out_info))
     elif args.cmd == "verify":
         from parquet2csv_spark.operators import decode_table, multiset_diff

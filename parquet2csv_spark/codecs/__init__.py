@@ -7,13 +7,19 @@ entirely with numpy/pyarrow buffer operations — no per-value Python.
 
 Frame layout::
 
-    uint8  version (=1)
+    uint8  version (writer generation: 1 = zlib transport, 2 = zstd)
     uint8  codec tag
     uint8  len(dtype string); dtype string utf8   # original arrow type
     uint32 n values
     uint32 null count
     [validity bitmap, ceil(n/8) bytes, iff null count > 0]
     [codec body]
+
+The layout is identical across versions — the version byte records the
+writer generation so old data stays self-describing. v2 (current) wraps
+transport bodies with zstd (tag T_ZSTD: inner tag + uint32 raw length +
+zstd bytes); v1 used zlib (tag T_ZLIB: inner tag + zlib stream). Decode
+accepts both, keyed by the TAG, so v1 chunk tables remain readable.
 
 Codec spec mini-language (the string recorded per chunk in the chunks
 table, e.g. ``dict:fsst+z``):
@@ -23,10 +29,13 @@ table, e.g. ``dict:fsst+z``):
     decimal: plain | decint:<int spec> (int64-fitting decimal128 via ints)
     bools  : plain (1-bit packed)
     strings: plain | fsst | dict:<values spec> | rledict:<values spec>
-    suffix : +z  — zlib-wrap the codec body (transport layer, as Parquet
-             pairs its encodings with GZIP; the reference's baseline format
-             is GZIP parquet with dictionary DISABLED,
-             OneRowParquetSchema.java:104-110)
+    suffix : +z  — transport-compress the codec body (as Parquet pairs its
+             encodings with GZIP; the reference's baseline format is GZIP
+             parquet with dictionary DISABLED,
+             OneRowParquetSchema.java:104-110). v2 transport is zstd via
+             pyarrow (~4× faster than deflate at comparable ratio on
+             dict/fsst-preconditioned bodies — VERDICT r6 #2: zlib was
+             ~25% of encode wall); v1 frames used zlib.
 """
 
 from __future__ import annotations
@@ -56,9 +65,27 @@ T_PLAIN_DEC = 12
 T_ALP = 13
 T_DELTA = 14
 T_DEC_INT = 15
+T_ZSTD = 16
+
+FRAME_VERSION = 2  # writer generation; decode accepts 1 (zlib era) and 2
 
 _U32 = struct.Struct("<I")
 _ZLIB_LEVEL = 6
+
+# zstd transport codecs (pyarrow ships libzstd). Level 9 ≈ deflate-6 ratio
+# at ~2× the speed on small fsst-preconditioned bodies (measured r7:
+# 24722 vs 24151 bytes, 1.1 vs 2.3 ms on a 40 KB body); level 1 for big
+# bodies mirrors the old _zlib_level big-body fast path and beats zlib-1
+# on BOTH axes there (~28% smaller on the corpus content column).
+# Module-level singletons: pa.Codec construction is cheap but not free,
+# and encode touches these per frame.
+_ZSTD_FAST = pa.Codec("zstd", compression_level=1)
+_ZSTD_DEFAULT = pa.Codec("zstd", compression_level=9)
+
+
+def _transport_compress(body: bytes) -> bytes:
+    codec = _ZSTD_FAST if len(body) > (1 << 18) else _ZSTD_DEFAULT
+    return codec.compress(body, asbytes=True)
 
 
 # ---------------------------------------------------------------- int bodies
@@ -263,11 +290,11 @@ def encode_array(arr: pa.Array, spec: str,
             raise ValueError(f"unknown string codec {base_spec!r}")
 
     if use_z:
-        body = bytes((tag,)) + zlib.compress(body, _zlib_level(len(body)))
-        tag = T_ZLIB
+        body = bytes((tag,)) + _U32.pack(len(body)) + _transport_compress(body)
+        tag = T_ZSTD
 
     ds = vec.dtype_str(typ).encode()
-    hdr = bytes((1, tag, len(ds))) + ds + _U32.pack(n) + _U32.pack(null_count)
+    hdr = bytes((FRAME_VERSION, tag, len(ds))) + ds + _U32.pack(n) + _U32.pack(null_count)
     if null_count:
         hdr += vec.pack_validity(valid)
     return hdr + body
@@ -284,7 +311,7 @@ def decode_array(frame: bytes | memoryview) -> pa.Array:
     if isinstance(frame, memoryview) and frame.format != "B":
         frame = frame.cast("B")
     ver, tag, dlen = frame[0], frame[1], frame[2]
-    assert ver == 1, f"bad frame version {ver}"
+    assert ver in (1, 2), f"bad frame version {ver}"
     off = 3
     typ = vec.dtype_from_str(bytes(frame[off : off + dlen]).decode())
     off += dlen
@@ -298,7 +325,15 @@ def decode_array(frame: bytes | memoryview) -> pa.Array:
         off += nbytes
     body = frame[off:]
 
-    if tag == T_ZLIB:
+    if tag == T_ZSTD:
+        (raw_len,) = _U32.unpack_from(body, 1)
+        inner = body[1 + 4 :]
+        tag = body[0]
+        body = _ZSTD_DEFAULT.decompress(
+            bytes(inner) if isinstance(inner, memoryview) else inner,
+            raw_len, asbytes=True,
+        )
+    elif tag == T_ZLIB:  # v1 compat: zlib-era frames stay decodable
         tag = body[0]
         body = zlib.decompress(body[1:])
 
@@ -355,11 +390,23 @@ def _body_offset(frame: bytes) -> int:
     return off
 
 
-def wrap_zlib(frame: bytes, level: int | None = None) -> bytes:
-    """Re-wrap an existing frame's body in the zlib transport layer without
-    re-running the inner codec (used by the selector's +z trial)."""
+def wrap_transport(frame: bytes) -> bytes:
+    """Re-wrap an existing frame's body in the (v2, zstd) transport layer
+    without re-running the inner codec (used by the selector's +z trial)."""
     tag = frame[1]
-    if tag == T_ZLIB:
+    if tag in (T_ZSTD, T_ZLIB):
+        return frame
+    off = _body_offset(frame)
+    raw = frame[off:]
+    body = bytes((tag,)) + _U32.pack(len(raw)) + _transport_compress(raw)
+    return frame[:1] + bytes((T_ZSTD,)) + frame[2:off] + body
+
+
+def wrap_zlib(frame: bytes, level: int | None = None) -> bytes:
+    """v1-era zlib wrap, kept so tests can synthesize legacy frames and any
+    external caller of the old name keeps working (decode accepts both)."""
+    tag = frame[1]
+    if tag in (T_ZLIB, T_ZSTD):
         return frame
     off = _body_offset(frame)
     if level is None:

@@ -26,7 +26,6 @@ reading exactly ONE committed run per group — never on byte identity.
 from __future__ import annotations
 
 import os
-import zlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -270,8 +269,9 @@ def encode_best(
     ctx: dict | None = None,
     ctx_key: str | None = None,
 ) -> tuple[str, bytes]:
-    """Encode with the chosen (or given) spec; additionally trial a zlib
-    transport layer on the body and keep it when it saves >10%.
+    """Encode with the chosen (or given) spec; additionally trial the
+    transport layer (zstd, frame v2) on the body and keep it when it saves
+    >10%.
 
     ``ctx``/``ctx_key``: per-task cache — the spec chosen for a column is
     reused for later chunks of that column in the same 4× size band (one
@@ -286,7 +286,7 @@ def encode_best(
     Guarantee: never pathologically worse than plain — if the chosen frame
     exceeds the plain frame, fall back to plain.
     """
-    from . import raw_size, wrap_zlib
+    from . import _transport_compress, raw_size, wrap_transport
 
     chosen = spec
     band = len(arr).bit_length() // 2  # 4× size bands: [4^k, 4^(k+1))
@@ -300,8 +300,8 @@ def encode_best(
     if not chosen.endswith("+z") and len(frame) > 4096:
         # cheap sliced trial first; full +z wrap only if promising
         trial = frame[: _ZLIB_TRIAL]
-        if len(zlib.compress(trial, 1)) < _ZLIB_KEEP * len(trial):
-            z = wrap_zlib(frame)
+        if len(_transport_compress(trial)) < _ZLIB_KEEP * len(trial):
+            z = wrap_transport(frame)
             if len(z) < _ZLIB_KEEP * len(frame):
                 chosen, frame = chosen + "+z", z
     if not chosen.startswith("plain") and len(frame) > raw_size(arr):

@@ -88,6 +88,28 @@ def prune_chunks_in(chunks_df: DataFrame, col: str, vals, str_stats: bool = Fals
     return chunks_df.filter(F.exists("cols", overlap))
 
 
+def prune_chunks_bloom(chunks_df: DataFrame, col: str, values) -> DataFrame:
+    """Membership pruning for string ``==`` / ``in`` point lookups: keep
+    only chunks whose per-chunk Bloom filter (operators.bloom) may contain
+    at least one of ``values``. Zero false negatives by construction —
+    chunks without a filter (legacy tables, all-null chunks) are kept."""
+    from pyspark.sql import functions as F
+
+    from .bloom import bloom_prune_sql
+
+    return chunks_df.filter(F.expr(bloom_prune_sql(col, list(values))))
+
+
+def _has_bloom_field(chunks_df: DataFrame) -> bool:
+    """True when the chunks table carries the (r7+) bloom field — pruning
+    must not reference a missing struct field on legacy tables."""
+    try:
+        cols_t = chunks_df.schema["cols"].dataType.elementType
+        return any(f.name == "bloom" for f in cols_t.fields)
+    except Exception:
+        return False
+
+
 def _arrow_schema_for(spark_schema: StructType) -> pa.Schema:
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -176,6 +198,17 @@ def _apply_filters(chunks_df: DataFrame, schema: StructType, filters) -> DataFra
                 chunks_df = prune_chunks_in(chunks_df, col, pvals, str_stats=is_str)
             else:
                 chunks_df = prune(chunks_df, col, lo=pvals[0], hi=pvals[-1])
+        if is_str and op in ("==", "in") and _has_bloom_field(chunks_df):
+            # string point lookups: the [lo,hi] prefix range of a chunk not
+            # sorted by this column is wide and prunes little — the Bloom
+            # membership check is what makes "fetch this one path"
+            # selective at 100 TB (VERDICT r6 #3). 'in' lists above the
+            # per-value cap skip it (the expression is linear per value,
+            # same cap as prune_chunks_in; a PARTIAL value list would
+            # create false negatives, so it is all values or none).
+            if op == "==" or len(val) <= _IN_PRUNE_MAX_VALUES:
+                mvals = [val] if op == "==" else list(val)
+                chunks_df = prune_chunks_bloom(chunks_df, col, mvals)
     return chunks_df
 
 

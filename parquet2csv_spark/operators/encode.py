@@ -44,7 +44,7 @@ CHUNKS_DDL = (
     "cols array<struct<name:string, codec:string, n:bigint, null_count:bigint, "
     "raw_bytes:bigint, enc_bytes:bigint, "
     "lo_long:bigint, hi_long:bigint, lo_str:string, hi_str:string, "
-    "frame:binary>>"
+    "bloom:array<bigint>, frame:binary>>"
 )
 
 COL_STRUCT = pa.struct(
@@ -62,6 +62,9 @@ COL_STRUCT = pa.struct(
         ("hi_long", pa.int64()),
         ("lo_str", pa.string()),
         ("hi_str", pa.string()),
+        # string membership filter for point-lookup pruning (operators.
+        # bloom): ≤ 1024 int64 words; null = no filter (conservative keep)
+        ("bloom", pa.list_(pa.int64())),
         ("frame", pa.binary()),
     ]
 )
@@ -126,7 +129,8 @@ def _zone_map(arr: pa.Array) -> dict:
     bound; an upper bound weakened by truncation is dropped)."""
     import pyarrow.compute as pc
 
-    out = {"lo_long": None, "hi_long": None, "lo_str": None, "hi_str": None}
+    out = {"lo_long": None, "hi_long": None, "lo_str": None, "hi_str": None,
+           "bloom": None}
     if len(arr) == 0 or arr.null_count == len(arr):
         return out
     try:
@@ -143,6 +147,11 @@ def _zone_map(arr: pa.Array) -> dict:
             lo, hi = mm["min"].as_py(), mm["max"].as_py()
             out["lo_str"] = lo[:128]
             out["hi_str"] = hi if len(hi) <= 128 else None
+            # membership filter: makes ==/in point lookups selective on
+            # exactly the columns where [lo,hi] prefix ranges are widest
+            from .bloom import build_bloom
+
+            out["bloom"] = build_bloom(arr)
     except Exception:
         pass
     return out

@@ -356,3 +356,37 @@ def test_pack_small_and_large_paths_byte_identical():
             assert got == want, (n, w)
             back = bitpack.unpack(got, n, w)
             assert (back == v).all(), (n, w)
+
+
+def test_frame_v1_zlib_frames_still_decode():
+    """Frame-format v2 switched the transport layer to zstd (VERDICT r6
+    #2); v1 frames — version byte 1, T_ZLIB transport tag — must stay
+    decodable forever (chunk tables on disk outlive engine upgrades)."""
+    import numpy as np
+
+    from parquet2csv_spark.codecs import (
+        T_ZLIB,
+        T_ZSTD,
+        decode_array,
+        encode_array,
+        wrap_transport,
+        wrap_zlib,
+    )
+
+    arr = pa.array(
+        [f"value-{i % 97}-{'x' * (i % 31)}" for i in range(4000)] + [None] * 5,
+        type=pa.large_string(),
+    )
+    plain = encode_array(arr, "plain")
+    # synthesize a v1 frame: zlib transport wrap + version byte 1
+    legacy = bytes([1]) + wrap_zlib(plain)[1:]
+    assert legacy[1] == T_ZLIB
+    assert decode_array(legacy).cast(pa.large_string()).equals(arr)
+    # current writer: version 2, zstd transport, same logical content
+    v2 = encode_array(arr, "plain+z")
+    assert v2[0] == 2 and v2[1] == T_ZSTD
+    assert decode_array(v2).cast(pa.large_string()).equals(arr)
+    # wrap_transport re-wraps an unwrapped frame into v2 transport
+    wt = wrap_transport(plain)
+    assert wt[1] == T_ZSTD
+    assert decode_array(wt).cast(pa.large_string()).equals(arr)

@@ -402,3 +402,59 @@ def test_grouped_encode_null_order_cols_sort_last(spark):
         for r in dec.orderBy("_group_key", "_seq", "_row_offset").collect()
     ]
     assert paths == ["a", "b", None, None]
+
+
+def test_bloom_membership_pruning_point_lookup(spark):
+    """VERDICT r6 #3: string ``==`` on a high-cardinality column the chunks
+    are NOT sorted by — the prefix [lo,hi] zone maps barely prune, the
+    per-chunk Bloom membership filter prunes almost everything, and the
+    result stays identical (Bloom filters have zero false negatives)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from parquet2csv_spark.operators.decode import _apply_filters
+
+    ddl = "path string, v bigint"
+    rows = [(f"src/{(i * 2654435761) % 100000:05x}/F{i}.java", i)
+            for i in range(8000)]
+    df = spark.createDataFrame(rows, ddl).coalesce(4)
+    chunks = encode_table(df, chunk_rows=500).cache()  # unsorted in `path`
+    try:
+        n_all = chunks.count()
+        schema = _parse_datatype_string(ddl)
+        target = rows[4321][0]
+        kept = _apply_filters(chunks, schema, [("path", "==", target)]).count()
+        # the value lives in exactly one chunk; bloom fp ~0.2% at this ndv
+        assert kept < n_all / 4, (kept, n_all)
+        got = decode_table(chunks, ddl, filters=[("path", "==", target)])
+        assert [r["v"] for r in got.collect()] == [4321]
+        # absent value: bloom prunes everything (or nearly), zero rows out
+        kept_abs = _apply_filters(
+            chunks, schema, [("path", "==", "no/such/path.txt")]
+        ).count()
+        assert kept_abs < n_all / 4
+        # 'in' routes through the bloom too — union over values
+        vals = [rows[17][0], rows[7777][0]]
+        got_in = decode_table(chunks, ddl, filters=[("path", "in", vals)])
+        assert sorted(r["v"] for r in got_in.collect()) == [17, 7777]
+    finally:
+        chunks.unpersist()
+
+
+def test_bloom_pruning_skips_legacy_tables_without_bloom_field(spark):
+    """Chunk tables written before r7 carry no ``bloom`` field; pruning
+    must fall back to zone maps only — never reference the missing field —
+    and row results stay exact."""
+    ddl = "path string, v bigint"
+    df = spark.createDataFrame(
+        [(f"p{i:04d}", i) for i in range(1000)], ddl
+    ).coalesce(1)
+    chunks = encode_table(df, chunk_rows=200)
+    legacy_struct = (
+        "struct(c.name as name, c.codec as codec, c.n as n, "
+        "c.null_count as null_count, c.raw_bytes as raw_bytes, "
+        "c.enc_bytes as enc_bytes, c.lo_long as lo_long, c.hi_long as hi_long, "
+        "c.lo_str as lo_str, c.hi_str as hi_str, c.frame as frame)"
+    )
+    legacy = chunks.withColumn("cols", F.expr(f"transform(cols, c -> {legacy_struct})"))
+    got = decode_table(legacy, ddl, filters=[("path", "==", "p0042")])
+    assert [r["v"] for r in got.collect()] == [42]

@@ -394,3 +394,43 @@ def test_catalog_single_file_snapshot(spark, tmp_path):
     os.utime(fp, ns=(snap.files["."][1] + 1, snap.files["."][1] + 1))
     with pytest.raises(RuntimeError, match="mutated"):
         cat.read(snap)
+
+
+def test_interval_join_multi_file_out_of_order_drain(spark, tmp_path):
+    """VERDICT r6 #6 / ADVICE r6: a multi-file directory whose file order
+    is NOT event-time order must drain equal to the batch join. The drain
+    pins ``maxFilesPerTrigger`` so availableNow cannot split the directory
+    into several micro-batches — if it did, the first (future-timestamped)
+    file would advance the watermark past the second file's rows and the
+    join would silently drop them relative to the batch oracle."""
+    import datetime
+    import time
+
+    from parquet2csv_spark.streaming.windows import interval_join
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mins(m):
+        return base + datetime.timedelta(minutes=m)
+
+    ddl = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    # file 1 (earliest mtime → admitted first): events ~10h in the future;
+    # a split drain would set the watermark far past file 2's rows
+    f_future = [(100 + i, mins(600 + i), 9, "click", 0.0) for i in range(5)]
+    # file 2: the actual signup + clicks, hours EARLIER in event time
+    f_past = [
+        (1, mins(0), 7, "signup", 5.0),
+        (2, mins(30), 7, "click", 0.0),   # +30min → joins (within 1h)
+        (3, mins(90), 7, "click", 0.0),   # +90min → outside the window
+    ]
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(f_future, ddl).coalesce(1).write.mode("append").parquet(p)
+    time.sleep(1.1)  # distinct mtimes pin the file admission order
+    spark.createDataFrame(f_past, ddl).coalesce(1).write.mode("append").parquet(p)
+    got = {
+        r["event_id"]
+        for r in interval_join(
+            spark, p, within="1 hour", watermark="10 minutes"
+        ).collect()
+    }
+    assert got == {2}
