@@ -53,7 +53,11 @@ def _hash_strings(obj_vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(h1, h2) int64 arrays for an object array of python strings."""
     import pandas as pd
 
-    h = pd.util.hash_array(obj_vals)  # uint64, deterministic fixed key
+    # categorize=False: the input is already distinct values, so the
+    # factorize+Categorical detour is pure per-call overhead (measured
+    # ~2.6× slower; it dominated the encode profile at 240 chunks × 5
+    # columns). Hash values are identical either way.
+    h = pd.util.hash_array(obj_vals, categorize=False)  # uint64, fixed key
     h1 = (h & _H_MASK).astype(np.int64)
     h2 = (((h >> np.uint64(32)) & _H_MASK) | np.uint64(1)).astype(np.int64)
     return h1, h2
