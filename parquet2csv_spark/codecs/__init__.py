@@ -72,15 +72,18 @@ FRAME_VERSION = 2  # writer generation; decode accepts 1 (zlib era) and 2
 _U32 = struct.Struct("<I")
 _ZLIB_LEVEL = 6
 
-# zstd transport codecs (pyarrow ships libzstd). Level 9 ≈ deflate-6 ratio
-# at ~2× the speed on small fsst-preconditioned bodies (measured r7:
-# 24722 vs 24151 bytes, 1.1 vs 2.3 ms on a 40 KB body); level 1 for big
-# bodies mirrors the old _zlib_level big-body fast path and beats zlib-1
-# on BOTH axes there (~28% smaller on the corpus content column).
-# Module-level singletons: pa.Codec construction is cheap but not free,
-# and encode touches these per frame.
+# zstd transport codecs (pyarrow ships libzstd). The level is transport-
+# internal — decode reads the zstd frame regardless — so it is tunable
+# without a format change (only the byte-pinned metrics oracle constants
+# move). Level 1 for big bodies mirrors the old _zlib_level big-body fast
+# path and beats zlib-1 on BOTH axes there (~28% smaller on the corpus
+# content column); level 3 for small bodies: ~13% worse than deflate-6 on
+# a small fsst body, but small bodies are the non-content columns (~5% of
+# corpus bytes ⇒ ~+0.7% total) and level 9 cost a measured ~8% of encode
+# wall. Module-level singletons: pa.Codec construction is cheap but not
+# free, and encode touches these per frame.
 _ZSTD_FAST = pa.Codec("zstd", compression_level=1)
-_ZSTD_DEFAULT = pa.Codec("zstd", compression_level=9)
+_ZSTD_DEFAULT = pa.Codec("zstd", compression_level=3)
 
 
 def _transport_compress(body: bytes) -> bytes:

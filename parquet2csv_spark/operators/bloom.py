@@ -77,12 +77,10 @@ def build_bloom(arr: pa.Array) -> list[int] | None:
     trunc = pc.utf8_slice_codeunits(distinct, 0, _PREFIX_CODEPOINTS)
     h1, h2 = _hash_strings(trunc.to_numpy(zero_copy_only=False))
     words = np.zeros(m // 64, dtype=np.uint64)
-    one = np.uint64(1)
-    for i in range(BLOOM_K):
-        pos = (h1 + i * h2) % m
-        np.bitwise_or.at(
-            words, pos >> 6, one << (pos & 63).astype(np.uint64)
-        )
+    # all k positions in one shot: (n, k) grid, single scatter
+    pos = (h1[:, None] + np.arange(BLOOM_K, dtype=np.int64)[None, :] * h2[:, None]) % m
+    pos = pos.ravel()
+    np.bitwise_or.at(words, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
     return words.view(np.int64).tolist()
 
 
