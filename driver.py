@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="pin the encode job_id to decode (default: latest)",
     )
     dec.add_argument(
+        "--columns", default=None,
+        help="comma-separated projection: decode ONLY these columns' "
+             "frames (column pruning through the decode — other columns' "
+             "frames are never touched). Columns used in --filter must be "
+             "included.",
+    )
+    dec.add_argument(
         "--filter", action="append", default=[], dest="filters",
         metavar="'COL OP VALUE'",
         help="selective decode: predicate routed through the chunk zone "
@@ -183,6 +190,16 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         from parquet2csv_spark.operators import decode_table
 
         schema = StructType.fromJson(json.load(open(args.schema_json)))
+        if args.columns:
+            want = [c.strip() for c in args.columns.split(",") if c.strip()]
+            by_name = {f.name: f for f in schema.fields}
+            missing = [c for c in want if c not in by_name]
+            if missing:
+                raise SystemExit(
+                    f"--columns {missing} not in the decode schema "
+                    f"(have: {', '.join(by_name)})"
+                )
+            schema = StructType([by_name[c] for c in want])
         filters = _parse_cli_filters(args.filters, schema) or None
         # accept either a raw chunks dir or an EncodeJob out_dir (whose
         # layout is <out>/chunks/run=*/ + <out>/lineage/): in the latter

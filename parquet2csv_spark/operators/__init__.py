@@ -1,4 +1,4 @@
-from .decode import decode_table, prune_chunks_long, prune_chunks_str
+from .decode import decode_table, prune_chunks_long, prune_chunks_str, scan_stats
 from .encode import (
     CHUNKS_DDL,
     chunk_metrics,
@@ -13,6 +13,7 @@ __all__ = [
     "decode_table",
     "prune_chunks_long",
     "prune_chunks_str",
+    "scan_stats",
     "encode_grouped",
     "encode_table",
     "is_bit_identical",

@@ -46,6 +46,14 @@ BLOOM_K = 4
 _PREFIX_CODEPOINTS = 64
 _MIN_BITS = 512
 _MAX_BITS = 65536
+# columns whose values average longer than this get NO bloom: point
+# lookups target key-like strings (path, commit, name) — for document/
+# content columns the filter would hash a full extra data pass through
+# pc.unique (measured 32 of 39 ms of per-chunk bloom cost on an 8 MB
+# corpus chunk) to build a 64-codepoint-prefix bloom whose fp is high
+# anyway (source files share license headers). Missing bloom = null =
+# conservative keep; zone maps still apply.
+_MAX_AVG_LEN = 128
 _H_MASK = np.uint64(0x7FFFFFFF)  # 31-bit reduction (see module docstring)
 
 
@@ -67,7 +75,12 @@ def build_bloom(arr: pa.Array) -> list[int] | None:
     """Bloom words (int64 list) over a string column chunk's distinct
     values, or None when the column carries no usable values (all-null /
     empty chunk) — a null bloom disables pruning for that chunk."""
-    if len(arr) == 0:
+    n = len(arr)
+    if n == 0:
+        return None
+    # cheap length gate BEFORE the pc.unique pass (which hashes all bytes)
+    data_len = pc.sum(pc.binary_length(arr)).as_py() or 0
+    if data_len > _MAX_AVG_LEN * max(1, n - arr.null_count):
         return None
     distinct = pc.unique(arr).drop_null()
     ndv = len(distinct)

@@ -206,10 +206,41 @@ def _apply_filters(chunks_df: DataFrame, schema: StructType, filters) -> DataFra
             # per-value cap skip it (the expression is linear per value,
             # same cap as prune_chunks_in; a PARTIAL value list would
             # create false negatives, so it is all values or none).
-            if op == "==" or len(val) <= _IN_PRUNE_MAX_VALUES:
-                mvals = [val] if op == "==" else list(val)
+            mvals = [val] if op == "==" else list(val)
+            if len(mvals) <= _IN_PRUNE_MAX_VALUES and all(
+                isinstance(v, str) for v in mvals
+            ):  # non-str values (e.g. None) skip the bloom, never crash it
                 chunks_df = prune_chunks_bloom(chunks_df, col, mvals)
     return chunks_df
+
+
+def scan_stats(chunks_df: DataFrame, schema: StructType | str, filters) -> dict:
+    """Selectivity preview for a selective decode: how many chunks (and
+    rows inside them) the given ``filters`` would leave to be scanned,
+    without decoding anything. The 100-TB operational question — "is this
+    predicate selective enough to run interactively?" — answered from
+    chunk metadata only (zone maps + Bloom filters), one small Spark job
+    over the chunks table.
+
+    Returns ``{"total_chunks", "kept_chunks", "total_rows", "kept_rows"}``
+    (kept_rows is the upper bound that will be decoded; the row-exact
+    re-apply can only shrink it further)."""
+    from pyspark.sql import functions as F
+
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    total = chunks_df.agg(
+        F.count(F.lit(1)).alias("c"), F.sum("n_rows").alias("r")
+    ).first()
+    kept = _apply_filters(chunks_df, schema, filters).agg(
+        F.count(F.lit(1)).alias("c"), F.sum("n_rows").alias("r")
+    ).first()
+    return {
+        "total_chunks": total["c"], "kept_chunks": kept["c"],
+        "total_rows": int(total["r"] or 0), "kept_rows": int(kept["r"] or 0),
+    }
 
 
 def decode_table(

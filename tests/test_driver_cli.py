@@ -164,3 +164,52 @@ def test_cli_decode_filter_selective(spark, tmp_path, capsys):
                 "--schema-json", f"{out}/schema.json",
                 "--out", str(tmp_path / "x"), "--filter", bad])
     capsys.readouterr()
+
+
+def test_cli_decode_columns_projection_and_in_echo(spark, tmp_path, capsys):
+    """r7: ``--columns`` prunes the decode to a subset schema (only those
+    frames are touched), unknown columns fail argparse-style, the echoed
+    'in' filter is '|'-joined so it round-trips back into --filter
+    (ADVICE r6), and --filter on a type the row filter can't compare is
+    rejected at parse time."""
+    import pytest
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"repo{i % 3}", f"path/{i:04d}.py", float(i), bytearray(b"\x00\x01"))
+         for i in range(200)],
+        "id long, repo string, path string, score double, blob binary",
+    ).write.parquet(src)
+    out = str(tmp_path / "enc")
+    assert driver.main(stop_session=False, argv=[
+        "--cpus", "4", "encode", "--input", src, "--out", out,
+        "--group-cols", "repo", "--order-cols", "path"]) in (0, None)
+    capsys.readouterr()
+
+    dec = str(tmp_path / "dec")
+    assert driver.main(stop_session=False, argv=[
+        "--cpus", "4", "decode", "--chunks", out,
+        "--schema-json", f"{out}/schema.json", "--out", dec,
+        "--columns", "id,path", "--filter", "id in 5|150"]) in (0, None)
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["filters"] == [["id", "in", "5|150"]]  # CLI-round-trippable
+    got = spark.read.parquet(dec)
+    assert sorted(got.columns) == ["id", "path"]
+    assert sorted(r["id"] for r in got.collect()) == [5, 150]
+
+    # unknown projection column → loud usage error before Spark work
+    with pytest.raises(SystemExit):
+        driver.main(stop_session=False, argv=[
+            "--cpus", "4", "decode", "--chunks", out,
+            "--schema-json", f"{out}/schema.json",
+            "--out", str(tmp_path / "x"), "--columns", "id,nope"])
+    # binary column filter → rejected at parse (ADVICE r6), not a runtime
+    # cast failure deep in the job
+    with pytest.raises(SystemExit):
+        driver.main(stop_session=False, argv=[
+            "--cpus", "4", "decode", "--chunks", out,
+            "--schema-json", f"{out}/schema.json",
+            "--out", str(tmp_path / "y"), "--filter", "blob == 00"])
+    # boolean parsing present for the filterable set (schema has none here;
+    # covered by _parse_cli_filters unit behavior via a bool-typed schema)
+    capsys.readouterr()

@@ -458,3 +458,26 @@ def test_bloom_pruning_skips_legacy_tables_without_bloom_field(spark):
     legacy = chunks.withColumn("cols", F.expr(f"transform(cols, c -> {legacy_struct})"))
     got = decode_table(legacy, ddl, filters=[("path", "==", "p0042")])
     assert [r["v"] for r in got.collect()] == [42]
+
+
+def test_scan_stats_selectivity_preview(spark):
+    """r7: ``scan_stats`` answers "how selective is this predicate" from
+    chunk metadata only — kept counts match what ``_apply_filters`` keeps,
+    and the row-exact decode result is bounded by kept_rows."""
+    from parquet2csv_spark.operators import scan_stats
+
+    ddl = "doc_id bigint, text string"
+    df = spark.createDataFrame([(i, f"body {i}") for i in range(4000)], ddl).coalesce(2)
+    chunks = encode_table(df, chunk_rows=500).cache()
+    try:
+        st = scan_stats(chunks, ddl, [("doc_id", ">=", 3500)])
+        assert st["total_rows"] == 4000
+        assert 0 < st["kept_chunks"] < st["total_chunks"]
+        assert 500 <= st["kept_rows"] < 4000
+        got = decode_table(chunks, ddl, filters=[("doc_id", ">=", 3500)]).count()
+        assert got == 500 <= st["kept_rows"]
+        # bloom-backed string point lookup previews as selective too
+        st2 = scan_stats(chunks, ddl, [("text", "==", "body 7")])
+        assert st2["kept_chunks"] < st2["total_chunks"]
+    finally:
+        chunks.unpersist()

@@ -91,15 +91,26 @@ def main() -> None:
             print(f"rep {rep} local[{c}]: {r['secs']:.1f}s", flush=True)
     thr = {c: logical / statistics.median(s) / 1e9 for c, s in secs.items()}
     # the north_rule pair is N→4N: headline the first exact-4× pair in the
-    # level list (fall back to the first two levels if none)
+    # level list (fall back to the first two levels if none; a single
+    # level — e.g. a scale-stress capture at one parallelism — reports
+    # throughput only, no efficiency pair)
     four_x = [(a, b) for a in levels for b in levels if b == 4 * a]
-    n_small, n_big = four_x[0] if four_x else (levels[0], levels[1])
-    eff = thr[n_big] / ((n_big // n_small) * thr[n_small])
+    if four_x:
+        n_small, n_big = four_x[0]
+    elif len(levels) >= 2:
+        n_small, n_big = levels[0], levels[1]
+    else:
+        n_small = n_big = levels[0]
+    eff = (
+        thr[n_big] / ((n_big // n_small) * thr[n_small])
+        if n_big != n_small else 1.0
+    )
+    single = n_big == n_small
     summary = {
         **{f"throughput_local{c}_gbps": round(thr[c], 4) for c in levels},
-        "scaling_pair": f"local[{n_small}]→local[{n_big}]",
-        "scaling_efficiency": round(eff, 4),
-        "gate": "PASS" if eff >= 0.8 else "FAIL",
+        "scaling_pair": None if single else f"local[{n_small}]→local[{n_big}]",
+        "scaling_efficiency": None if single else round(eff, 4),
+        "gate": "N/A" if single else ("PASS" if eff >= 0.8 else "FAIL"),
         "rows": ROWS,
         "logical_bytes": logical,
         "all_secs": {c: [round(x, 2) for x in s] for c, s in secs.items()},
