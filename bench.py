@@ -170,6 +170,15 @@ def main() -> None:
     query_secs = {
         name: round(statistics.median(ts), 3) for name, ts in timings.items()
     }
+    # best rep alongside the median: on a burst-credit box every
+    # perturbation only ADDS time (throttle noise is one-sided), so the
+    # minimum is the least-biased estimator of true engine cost — the
+    # median of 2 reps of the heaviest item swings ±50% run-to-run
+    # (measured r7: encode reps 2.79-6.36 s on back-to-back rested
+    # captures). "value" stays the median for protocol continuity.
+    query_secs_best = {
+        name: round(min(ts), 3) for name, ts in timings.items()
+    }
     enc_secs = statistics.median(timings["encode_corpus"])
     dec_secs = statistics.median(timings["decode_corpus"])
     enc_bytes = enc_bytes_box[0]
@@ -193,6 +202,13 @@ def main() -> None:
         "compression_ratio": round(enc_bytes / logical_bytes, 4),
         "vs_reference_parquet": round(enc_bytes / ref_bytes, 4),
         "decode_gbps": round(logical_bytes / dec_secs / 1e9, 4),
+        "queries_best": query_secs_best,
+        "encode_gbps_best": round(
+            logical_bytes / query_secs_best["encode_corpus"] / 1e9, 4
+        ),
+        "decode_gbps_best": round(
+            logical_bytes / query_secs_best["decode_corpus"] / 1e9, 4
+        ),
         "cpus": CPUS,
         # burst-credit guard (VERDICT r5 #1): effective parallel cores
         # measured before and after the suite; "throttled": true means the
