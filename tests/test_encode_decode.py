@@ -481,3 +481,39 @@ def test_scan_stats_selectivity_preview(spark):
         assert st2["kept_chunks"] < st2["total_chunks"]
     finally:
         chunks.unpersist()
+
+
+def test_bloom_multibyte_prefix_agreement_no_false_negative():
+    """The encoder truncates values Arrow-side (utf8_slice_codeunits) and
+    the query side slices Python-side (value[:64]); both count CODE
+    POINTS, so multi-byte values must always hit their own bloom — a
+    disagreement would be a silent false negative (wrong results), not a
+    perf issue. No Spark needed: checks the bit membership directly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet2csv_spark.operators.bloom import (
+        BLOOM_K,
+        build_bloom,
+        query_hashes,
+    )
+
+    vals = [
+        "日本語のテキスト" * 10,   # 80 cp, > the 64-cp truncation point
+        "naïve—überprüfung✓" * 5,
+        "🎉🎊" * 40,               # 80 cp of 4-byte chars
+        "κόσμος " * 15,
+        "",            # empty string is a legitimate value
+        "short",
+    ]
+    # pad with short values so the column stays under the avg-length gate
+    col = vals * 3 + [f"k{i}" for i in range(200)]
+    bloom = build_bloom(pa.array(col))  # dups exercise pc.unique
+    assert bloom is not None
+    words = np.array(bloom, dtype=np.int64).view(np.uint64)
+    m = len(bloom) * 64
+    for v in vals:
+        h1, h2 = query_hashes(v)
+        for i in range(BLOOM_K):
+            pos = (h1 + i * h2) % m
+            assert (words[pos >> 6] >> np.uint64(pos & 63)) & np.uint64(1), v
