@@ -44,7 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     dec = sub.add_parser("decode", help="reconstruct a table from chunks")
     dec.add_argument("--chunks", required=True)
     dec.add_argument("--schema-json", required=True)
-    dec.add_argument("--out", required=True)
+    dec.add_argument("--out", default=None,
+                     help="output parquet dir (required unless --stats-only)")
     dec.add_argument(
         "--snapshot-id", default=None,
         help="pin the committed generation to decode (default: latest)",
@@ -52,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     dec.add_argument(
         "--decode-job-id", default=None,
         help="pin the encode job_id to decode (default: latest)",
+    )
+    dec.add_argument(
+        "--stats-only", action="store_true",
+        help="don't decode: print the scan_stats selectivity preview "
+             "(total vs kept chunks/rows under --filter, from zone maps + "
+             "Bloom filters only) and exit 0",
     )
     dec.add_argument(
         "--columns", default=None,
@@ -190,6 +197,8 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         from parquet2csv_spark.operators import decode_table
 
         schema = StructType.fromJson(json.load(open(args.schema_json)))
+        if not args.stats_only and not args.out:
+            raise SystemExit("decode needs --out (or pass --stats-only)")
         if args.columns:
             want = [c.strip() for c in args.columns.split(",") if c.strip()]
             by_name = {f.name: f for f in schema.fields}
@@ -254,6 +263,14 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         else:
             chunks = spark.read.parquet(args.chunks)
             picked = {}
+        if args.stats_only:
+            from parquet2csv_spark.operators import scan_stats
+
+            st = scan_stats(chunks, schema, filters or [])
+            print(json.dumps({**st, **picked}))
+            if stop_session:
+                spark.stop()
+            return 0
         decode_table(chunks, schema, filters=filters).write.mode(
             "overwrite"
         ).parquet(args.out)

@@ -213,3 +213,35 @@ def test_cli_decode_columns_projection_and_in_echo(spark, tmp_path, capsys):
     # boolean parsing present for the filterable set (schema has none here;
     # covered by _parse_cli_filters unit behavior via a bool-typed schema)
     capsys.readouterr()
+
+
+def test_cli_decode_stats_only(spark, tmp_path, capsys):
+    """r7: ``decode --stats-only`` prints the selectivity preview (zone
+    maps + blooms, no decode, no --out needed); omitting --out WITHOUT
+    --stats-only stays a loud usage error."""
+    import pytest
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"repo{i % 3}", f"path/{i:04d}.py") for i in range(300)],
+        "id long, repo string, path string",
+    ).write.parquet(src)
+    out = str(tmp_path / "enc")
+    assert driver.main(stop_session=False, argv=[
+        "--cpus", "4", "encode", "--input", src, "--out", out,
+        "--group-cols", "repo", "--order-cols", "path"]) in (0, None)
+    capsys.readouterr()
+
+    assert driver.main(stop_session=False, argv=[
+        "--cpus", "4", "decode", "--chunks", out,
+        "--schema-json", f"{out}/schema.json",
+        "--stats-only", "--filter", "id >= 250"]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["total_rows"] == 300 and 0 < st["kept_rows"] <= 300
+    assert 0 < st["kept_chunks"] <= st["total_chunks"]
+
+    with pytest.raises(SystemExit):
+        driver.main(stop_session=False, argv=[
+            "--cpus", "4", "decode", "--chunks", out,
+            "--schema-json", f"{out}/schema.json", "--filter", "id >= 250"])
+    capsys.readouterr()
