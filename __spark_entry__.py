@@ -40,6 +40,43 @@ from parquet2csv_spark.sources.corpus import CORPUS_DDL, generate_corpus
 
 _T = lambda spark, sf_dir, name: spark.read.parquet(f"{sf_dir}/{name}.parquet")  # noqa: E731
 
+
+def _par(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Restore scan parallelism ahead of heavy map work (guide §2.5 input
+    skew): the testdata parquet files are written as a SINGLE row group, so
+    the file scan is one task no matter what ``maxPartitionBytes`` says and
+    every narrow stage rooted on it (mapInArrow encode, explode+hash
+    pipelines) runs on one core. One repartition to the session's core
+    count fixes that; scale-adaptive (defaultParallelism = total cluster
+    cores, the right width for a full-table pass) and a no-op when the
+    scan already has enough partitions (a real lakehouse table with many
+    files/row groups skips the extra exchange).
+
+    HASH partitioning, not round-robin: a keyless ``repartition(n)`` first
+    locally sorts its input (spark.sql.execution.sortBeforeRepartition,
+    guide §2.5) — on the one giant scan partition that is a single-task
+    sort of the whole table (measured 11.5 s vs 4.5 s for the hash
+    exchange on the 6M-row lineitem). ``key`` names a high-cardinality
+    column to hash on; without one, xxhash64 over the scalar columns is a
+    deterministic, evenly-spread synthetic key (deterministic matters:
+    rand()-derived keys re-draw under task retry and can lose or duplicate
+    rows — SPARK-38388). Row-set semantics are unchanged — only the
+    partitioning moves, and every consumer below is
+    partitioning-insensitive (encode/decode roundtrips compare multisets;
+    aggregations are associative)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    if key is not None:
+        return df.repartition(n, F.col(key))
+    scalar = [
+        f.name for f in df.schema.fields
+        if f.dataType.typeName() not in ("array", "map", "struct")
+    ]
+    if scalar:
+        return df.repartition(n, F.xxhash64(*scalar))
+    return df.repartition(n)
+
 LINEITEM_COLS = [
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
     "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
@@ -72,8 +109,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # ------------------------------------------------------- engine round-trips
 
 def _roundtrip(spark, sf_dir, table, cols):
+    # The single-row-group source file pins the whole mapInArrow encode
+    # AND the decode below it (same partitioning) to one task. When the
+    # file has fewer row groups than cores, the fused parallel
+    # read+encode source (sources.parallel_scan) hands each task a row
+    # range it reads with pyarrow and encodes in the same python pass —
+    # no single-task scan, no exchange, and no full-table python↔JVM
+    # bounce between a scan stage and the encode stage (measured 10.0 s →
+    # ~3 s on the 6M-row lineitem roundtrip at local[32]; a plain hash
+    # repartition got 7.0 s). Decoded rows are a bit-identical multiset
+    # in every variant.
+    from parquet2csv_spark.sources.parallel_scan import (
+        parallel_scan_encode,
+        worth_it,
+    )
+
     src = _T(spark, sf_dir, table)
-    chunks = encode_table(src, chunk_rows=16384)
+    path = f"{sf_dir}/{table}.parquet"
+    if worth_it(path, spark.sparkContext.defaultParallelism):
+        chunks = parallel_scan_encode(spark, path, src.schema, chunk_rows=16384)
+    else:
+        chunks = encode_table(_par(src, key=cols[0]), chunk_rows=16384)
     return decode_table(chunks, src.schema).select(*cols)
 
 
@@ -417,6 +473,11 @@ def q_selector_stats_documents(spark, sf_dir):
 # ----------------------------------------------------- training-data ops
 
 def q_dedup_exact_documents(spark, sf_dir):
+    # no _par here (tried, measured 0.35 s → 1.09 s at the 50k-doc scale):
+    # the groupBy(md5(text)) already does map-side partial aggregation on
+    # the scan partition, so a pre-shuffle of the full text column costs
+    # more than the parallel md5 saves (guide §2.3: aggregate before you
+    # shuffle)
     return X.exact_dups(_T(spark, sf_dir, "documents"), "doc_id")
 
 
@@ -557,7 +618,9 @@ def q_winnow_documents(spark, sf_dir):
 
 
 def q_simhash_documents(spark, sf_dir):
-    return X.simhash(_T(spark, sf_dir, "documents"), "doc_id")
+    # _par: the token explode + 60 bit-sum projections otherwise run on the
+    # scan's single partition
+    return X.simhash(_par(_T(spark, sf_dir, "documents"), key="doc_id"), "doc_id")
 
 
 def q_jaccard_pairs_documents(spark, sf_dir):
@@ -582,13 +645,16 @@ def q_dedup_clusters_documents(spark, sf_dir):
     pair graph (transitive closure), cluster_id = min key (the survivor a
     dedup pipeline keeps). Oracle: the same pair pipeline in SQL wrapped in
     a recursive-CTE reachability closure."""
-    d = _T(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    d = _par(_T(spark, sf_dir, "documents").filter(F.col("doc_id") < 250), key="doc_id")
     pairs = X.minhash_near_dups(d, "doc_id", n=4, num_perm=32, bands=8, threshold=0.5)
     return X.dup_clusters(pairs)
 
 
 def q_minhash_near_dups(spark, sf_dir):
-    d = _T(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    # filter first (pushed to the parquet scan), then _par so the shingle
+    # explode + 32 universal-hash projections fan out across cores instead
+    # of the scan's single partition
+    d = _par(_T(spark, sf_dir, "documents").filter(F.col("doc_id") < 250), key="doc_id")
     return X.minhash_near_dups(d, "doc_id", n=4, num_perm=32, bands=8, threshold=0.5)
 
 

@@ -223,6 +223,57 @@ def _job_ctx(namespace: str) -> dict:
 
 # ----------------------------------------------------------- ungrouped path
 
+def encode_batches(
+    batches: Iterator[pa.RecordBatch],
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    specs: dict[str, str] | None = None,
+) -> Iterator[pa.RecordBatch]:
+    """The ungrouped encode kernel: stream of record batches → stream of
+    chunks-table batches with content-addressed chunk ids. Shared verbatim
+    by :func:`encode_table` (mapInArrow over a DataFrame) and the fused
+    read+encode source (sources.parallel_scan.parallel_scan_encode), so
+    both produce byte-identical frames for identical input slices.
+
+    The codec ctx is deliberately per-call (NOT the worker-lifetime
+    _WORKER_CACHE): with a per-call cache the frames are a pure function
+    of the partition's data, which the byte-pinned engine-metrics oracle
+    depends on; a worker-lifetime cache would make codec choices and FSST
+    tables depend on which task a worker happened to run first. This path
+    has few, chunky partitions, so the amortization the grouped path
+    needs is immaterial here."""
+    pending: list[pa.RecordBatch] = []
+    pending_rows = 0
+    pending_bytes = 0
+    seq = 0
+    ctx: dict = {}
+
+    def flush(tbl: pa.Table):
+        nonlocal seq
+        rows = []
+        for off, ln in split_points(tbl, chunk_rows, chunk_bytes):
+            piece = tbl.slice(off, ln)
+            row = encode_chunk(piece, "", "", seq, specs, ctx)
+            h = hashlib.sha1()
+            for c in row["cols"]:
+                h.update(c["frame"])
+            row["chunk_id"] = h.hexdigest()[:20]
+            rows.append(row)
+            seq += 1
+        if rows:
+            yield _rows_to_batch(rows)
+
+    for batch in batches:
+        pending.append(batch)
+        pending_rows += batch.num_rows
+        pending_bytes += batch.nbytes
+        if pending_rows >= chunk_rows or pending_bytes >= chunk_bytes:
+            yield from flush(pa.Table.from_batches(pending))
+            pending, pending_rows, pending_bytes = [], 0, 0
+    if pending:
+        yield from flush(pa.Table.from_batches(pending))
+
+
 def encode_table(
     df: DataFrame,
     chunk_rows: int = DEFAULT_CHUNK_ROWS,
@@ -233,43 +284,7 @@ def encode_table(
     content-addressed (sha1 of frames) — identical data → identical ids."""
 
     def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        pending: list[pa.RecordBatch] = []
-        pending_rows = 0
-        pending_bytes = 0
-        seq = 0
-        # deliberately per-task (NOT the worker-lifetime _WORKER_CACHE):
-        # with a per-task cache the frames are a pure function of the
-        # partition's data, which the byte-pinned engine-metrics oracle
-        # depends on; a worker-lifetime cache would make codec choices and
-        # FSST tables depend on which task a worker happened to run first.
-        # This path has few, chunky partitions, so the amortization the
-        # grouped path needs is immaterial here.
-        ctx: dict = {}
-
-        def flush(tbl: pa.Table):
-            nonlocal seq
-            rows = []
-            for off, ln in split_points(tbl, chunk_rows, chunk_bytes):
-                piece = tbl.slice(off, ln)
-                row = encode_chunk(piece, "", "", seq, specs, ctx)
-                h = hashlib.sha1()
-                for c in row["cols"]:
-                    h.update(c["frame"])
-                row["chunk_id"] = h.hexdigest()[:20]
-                rows.append(row)
-                seq += 1
-            if rows:
-                yield _rows_to_batch(rows)
-
-        for batch in batches:
-            pending.append(batch)
-            pending_rows += batch.num_rows
-            pending_bytes += batch.nbytes
-            if pending_rows >= chunk_rows or pending_bytes >= chunk_bytes:
-                yield from flush(pa.Table.from_batches(pending))
-                pending, pending_rows, pending_bytes = [], 0, 0
-        if pending:
-            yield from flush(pa.Table.from_batches(pending))
+        yield from encode_batches(batches, chunk_rows, chunk_bytes, specs)
 
     return df.mapInArrow(enc, CHUNKS_DDL)
 
