@@ -375,7 +375,14 @@ def q_join_revenue_by_nation(spark, sf_dir):
 
 
 def q_window_topk_orders(spark, sf_dir):
-    o = _T(spark, sf_dir, "orders")
+    # _par on the WINDOW key: the partial WindowGroupLimit Spark inserts
+    # below the window exchange needs a full sort of its input — on the
+    # single-row-group scan that is a single-task sort of the whole table.
+    # Hash-repartitioning by o_custkey up front satisfies the window's
+    # required distribution (no second exchange — plan keeps ONE) and the
+    # sort runs across all cores (measured 1.78 s → 0.77 s at the 1.5M-row
+    # scale). row_number's full ordering makes the result order-exact.
+    o = _par(_T(spark, sf_dir, "orders"), key="o_custkey")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         o.withColumn("rk", F.row_number().over(w).cast("long"))
@@ -493,7 +500,12 @@ def q_curate_training_documents(spark, sf_dir):
     emit the curated set with its token counts — the composition a 100-TB
     pretraining pipeline runs nightly. Every stage is one of this repo's
     proven operators; the oracle composes their proven SQL forms."""
-    d = _T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # _par: the rank-1 filter becomes a partial WindowGroupLimit that
+    # sorts by md5(text) BELOW the window exchange — single-task on the
+    # one-row-group scan; pre-hashing by doc_id parallelizes it and the
+    # regexp-heavy quality features (same rows out: the survivor per
+    # content hash is the min doc_id, order-independent)
+    d = _par(_T(spark, sf_dir, "documents").filter(F.col("text").isNotNull()), key="doc_id")
     q = tx.quality_features(d)
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     survivors = q.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)

@@ -174,27 +174,38 @@ def minhash_near_dups(
 def ngram_jaccard_on_pairs(
     pairs: DataFrame, sh: DataFrame, threshold: float = 0.0
 ) -> DataFrame:
-    """Exact Jaccard for given candidate pairs via shingle equi-join."""
-    sizes = sh.groupBy("key").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        pairs.join(a, pairs.key_a == F.col("a.key"))
-        .join(b, (pairs.key_b == F.col("b.key")) & (F.col("a.shingle") == F.col("b.shingle")))
-        .groupBy("key_a", "key_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    """Exact Jaccard for given candidate pairs.
+
+    r8 restructure (same values, fewer exchanges): gather each key's
+    distinct shingles ONCE (``collect_set`` — one shuffle, and shingles
+    are already distinct per key so the set is exactly the old exploded
+    rows), then broadcast the candidate pairs — by construction the small
+    side (LSH candidates, not all pairs) — and join the two set columns
+    in, computing ``|A∩B|`` row-locally with ``array_intersect``. The old
+    form ran a 5-join/2-aggregation DAG over the exploded shingle rows
+    (~6 exchanges, and the shingle explode itself evaluated 3×); this is
+    one aggregation plus two joins against the SAME aggregated subtree
+    (the second exchange is plan-reused). Counts are identical integers,
+    so round(jaccard, 6) is bit-identical."""
+    sets = sh.groupBy("key").agg(F.collect_set("shingle").alias("_sset"))
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa._sset"), F.col("sb._sset")))
     return (
-        inter.join(sa, inter.key_a == F.col("sa.key"))
-        .join(sb, inter.key_b == F.col("sb.key"))
+        F.broadcast(pairs)
+        .join(sa, F.col("key_a") == F.col("sa.key"))
+        .join(sb, F.col("key_b") == F.col("sb.key"))
+        .withColumn("_n_inter", inter)
+        # the old exploded-join form dropped pairs with an EMPTY
+        # intersection (no matching shingle row survived the inner join);
+        # keep that contract for every threshold, including 0.0
+        .filter(F.col("_n_inter") >= 1)
         .select(
             "key_a",
             "key_b",
             F.round(
-                F.col("n_inter")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+                F.col("_n_inter")
+                / (F.size("sa._sset") + F.size("sb._sset") - F.col("_n_inter")),
                 6,
             ).alias("jaccard"),
         )
