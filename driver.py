@@ -75,7 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
              "then re-applied row-exactly. Repeatable (AND semantics). OP "
              "in >= > <= < == in; 'in' joins values with '|'. Dates/"
              "timestamps in ISO form. Examples: \"ts >= 2024-01-10T00:00:00\""
-             ", \"doc_id in 5|9000000\"",
+             ", \"doc_id in 5|9000000\". Known limitation (ADVICE r7): '|' "
+             "is not escapable, so a STRING value containing '|' cannot be "
+             "expressed in an 'in' list (it would mis-split) — use '==' "
+             "for such values",
     )
 
     ver = sub.add_parser("verify", help="bit-identity check: chunks vs source")

@@ -314,7 +314,11 @@ def decode_array(frame: bytes | memoryview) -> pa.Array:
     if isinstance(frame, memoryview) and frame.format != "B":
         frame = frame.cast("B")
     ver, tag, dlen = frame[0], frame[1], frame[2]
-    assert ver in (1, 2), f"bad frame version {ver}"
+    if ver not in (1, 2):
+        # a real exception, not assert: under `python -O` an assert
+        # vanishes and a corrupt/future-version frame would be misparsed
+        # silently instead of failing loudly (ADVICE r7)
+        raise ValueError(f"bad frame version {ver}")
     off = 3
     typ = vec.dtype_from_str(bytes(frame[off : off + dlen]).decode())
     off += dlen

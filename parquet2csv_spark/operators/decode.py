@@ -97,6 +97,27 @@ def prune_chunks_bloom(chunks_df: DataFrame, col: str, values) -> DataFrame:
 
     from .bloom import bloom_prune_sql
 
+    # ADVICE r7: bloom_prune_sql interpolates the column name as a SQL
+    # string literal with backslash escaping that assumes the DEFAULT
+    # spark.sql.parser.escapedStringLiterals=false; under a legacy-
+    # escaping session a backslash-bearing name would mis-match and
+    # exists() would return false — the FALSE-NEGATIVE direction. Bloom
+    # pruning is an optimization, so under legacy escaping it is simply
+    # skipped (conservative keep; zone maps still applied upstream).
+    legacy = (
+        chunks_df.sparkSession.conf.get(
+            "spark.sql.parser.escapedStringLiterals", "false"
+        )
+        or "false"
+    ).lower() == "true"
+    if legacy:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "bloom pruning skipped: spark.sql.parser.escapedStringLiterals "
+            "is enabled and the pruning predicate assumes default escaping"
+        )
+        return chunks_df
     return chunks_df.filter(F.expr(bloom_prune_sql(col, list(values))))
 
 

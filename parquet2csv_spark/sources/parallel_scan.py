@@ -50,10 +50,17 @@ def worth_it(path: str, parallelism: int) -> bool:
     return pq.ParquetFile(path).metadata.num_row_groups * 2 < parallelism
 
 
-def _slice_assignments(spark: SparkSession, path: str, n_slices: int | None):
+def _slice_assignments(
+    spark: SparkSession, path: str, n_slices: int | None, min_rows: int = 1
+):
+    """Row-range assignments. ``min_rows`` floors the slice size so a
+    small file never fans out into more tasks than it has work for — a
+    5000-row table split 32 ways costs more in task/python-worker
+    round-trips than the parallelism buys (measured 0.54 s → 1.03 s on
+    the sf0.1 documents roundtrip before the floor)."""
     n = n_slices or spark.sparkContext.defaultParallelism
     total = _file_rows(path)
-    n = max(1, min(n, total or 1))
+    n = max(1, min(n, total or 1, -(-(total or 1) // max(min_rows, 1))))
     per = -(-total // n)  # ceil
     return [
         (path, start, min(per, total - start))
@@ -132,7 +139,9 @@ def parallel_scan_encode(
         chunk_bytes = DEFAULT_CHUNK_BYTES
     target = to_arrow_schema(schema)
     names = [f.name for f in schema.fields]
-    assignments = _slice_assignments(spark, path, n_slices)
+    # slices never smaller than one encode chunk: finer slicing only
+    # multiplies per-chunk overhead without adding useful parallelism
+    assignments = _slice_assignments(spark, path, n_slices, min_rows=chunk_rows)
 
     def read_encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:

@@ -15,6 +15,15 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# One-micro-batch pin for every WATERMARKED availableNow drain (ADVICE r7,
+# generalizing the VERDICT r6 #6 interval-join fix): the file source's
+# default ~1000-file admission can split a multi-file directory into
+# several micro-batches; once the watermark advances between batches, rows
+# in later files that lag it (file order is not event-time order) are
+# dropped from aggregation/dedup/join state and the drain silently
+# diverges from the batch oracle. Far above any drainable directory size.
+SINGLE_BATCH_READER_OPTIONS = {"maxFilesPerTrigger": 10_000_000}
+
 
 def _drain_stream(
     spark: SparkSession,
@@ -86,6 +95,7 @@ def windowed_event_counts(
     return _drain_stream(
         spark, events_path, build, "complete",
         "SELECT w.start AS ws, event_type, n, total_value FROM {name}",
+        reader_options=SINGLE_BATCH_READER_OPTIONS,
     )
 
 
@@ -116,6 +126,7 @@ def session_windowed_counts(
     return _drain_stream(
         spark, events_path, build, "complete",
         "SELECT user_id, w.start AS session_start, w.end AS session_end, n FROM {name}",
+        reader_options=SINGLE_BATCH_READER_OPTIONS,
     )
 
 
@@ -187,7 +198,7 @@ def interval_join(
         spark, events_path, build, "append",
         "SELECT l_event_id AS event_id, user_id, r_ts, "
         "round(r_value, 2) AS r_value FROM {name}",
-        reader_options={"maxFilesPerTrigger": 10_000_000},
+        reader_options=SINGLE_BATCH_READER_OPTIONS,
     )
 
 
@@ -208,4 +219,7 @@ def streaming_dedup(
             key_cols or ["event_id"]
         )
 
-    return _drain_stream(spark, events_path, build, "append", "SELECT * FROM {name}")
+    return _drain_stream(
+        spark, events_path, build, "append", "SELECT * FROM {name}",
+        reader_options=SINGLE_BATCH_READER_OPTIONS,
+    )

@@ -434,3 +434,32 @@ def test_interval_join_multi_file_out_of_order_drain(spark, tmp_path):
         ).collect()
     }
     assert got == {2}
+
+
+def test_windowed_counts_multi_file_out_of_order_drain(spark, tmp_path):
+    """ADVICE r7: the same multi-file out-of-order hazard for a
+    WATERMARKED AGGREGATION drain — without the single-batch pin, the
+    future-timestamped first file advances the watermark and the second
+    file's (event-time-earlier) rows are dropped from the windowed
+    aggregation relative to the batch oracle."""
+    import datetime
+    import time
+
+    from parquet2csv_spark.streaming.windows import windowed_event_counts
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mins(m):
+        return base + datetime.timedelta(minutes=m)
+
+    ddl = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    f_future = [(100 + i, mins(600 + i), 9, "view", 1.0) for i in range(3)]
+    f_past = [(1, mins(0), 7, "click", 2.0), (2, mins(10), 7, "click", 3.0)]
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(f_future, ddl).coalesce(1).write.mode("append").parquet(p)
+    time.sleep(1.1)  # distinct mtimes pin the file admission order
+    spark.createDataFrame(f_past, ddl).coalesce(1).write.mode("append").parquet(p)
+    rows = windowed_event_counts(spark, p, window="1 hour", watermark="10 minutes").collect()
+    by_type = {(r["event_type"]): r["n"] for r in rows}
+    # the event-time-earlier file's rows must survive the drain
+    assert by_type == {"click": 2, "view": 3}
