@@ -97,6 +97,20 @@ _TRIAL_VALUES = 512
 _TRIAL_BYTES = 1 << 18
 _TIE_TOLERANCE = 1.12  # prefer a faster codec within 12% of the best size
 
+# Large-blob trial (r8): blobs at or above this size get their candidates
+# measured on a CONTIGUOUS prefix of up to _TRIAL_BYTES_LARGE instead of
+# the 512-value/256KB stride sample. Rationale, measured on the corpus
+# content column: the transport zstd exploits long-range redundancy that
+# only exists in samples larger than its match window, and FSST's
+# parity-greedy parsing encodes identical substrings differently at
+# different byte parities — so on a small sample `fsst+z` looks ~5-10%
+# smaller, while on the real multi-MB chunk `plain+z` is 20-24% SMALLER
+# (p/f 0.76 at 512KB..4MB) and ~10× faster to encode. The small-blob path
+# is byte-for-byte unchanged (the pinned engine-metrics oracle rides a
+# 151KB chunk).
+_LARGE_BLOB_BYTES = 1 << 19      # 512 KiB — the measured crossover
+_TRIAL_BYTES_LARGE = 1 << 20     # 1 MiB trial prefix
+
 
 def _trial_sample(arr: pa.Array) -> pa.Array:
     """Small deterministic stride sample for trial encodes (≤512 values)."""
@@ -222,6 +236,34 @@ def choose(arr: pa.Array, stats: ColumnStats | None = None, profile: str | None 
     # the trial encodes saves real per-chunk time.
     if st.ndv_ratio < 0.05 and st.avg_len > 0:
         return "rledict:plain+z" if st.run_ratio < 0.5 else "dict:plain+z"
+    # large blobs: measure every candidate on the same contiguous prefix
+    # (big enough for the transport's real match window) and compare the
+    # measured sizes directly — fixed payloads (symbol table, dict) are
+    # negligible at this sample size, so no extrapolation is needed
+    approx_bytes = st.avg_len * st.n
+    if approx_bytes >= _LARGE_BLOB_BYTES:
+        filled_all = arr.fill_null("") if arr.null_count else arr
+        # lengths only — string_parts would copy the full blob just to
+        # find the prefix cut (same trap raw_size once had)
+        all_lengths = pc.binary_length(filled_all).to_numpy(zero_copy_only=False)
+        keep = int(np.searchsorted(np.cumsum(all_lengths), _TRIAL_BYTES_LARGE)) + 1
+        big_sample = filled_all.slice(0, max(16, keep))
+        sizes_l: list[tuple[float, str]] = []
+        trial_ctx_l: dict = {}
+        for spec in _string_candidates(st, profile):
+            try:
+                sizes_l.append(
+                    (float(len(encode_array(big_sample, spec, trial_ctx_l, spec))), spec)
+                )
+            except Exception:
+                continue
+        if sizes_l:
+            best_l = min(s for s, _ in sizes_l)
+            for sz, spec in sizes_l:  # first (fastest) within tolerance
+                if sz <= best_l * _TIE_TOLERANCE:
+                    return spec
+            return min(sizes_l)[1]
+        return "plain"
     # strings: trial-encode a sample under each candidate
     sample = _trial_sample(arr)
     lengths, blob = vec.string_parts(sample.fill_null("") if sample.null_count else sample)
