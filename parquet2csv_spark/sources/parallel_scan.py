@@ -35,6 +35,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 _ASSIGN_DDL = "path string, start bigint, n bigint"
 
+# Default cap on slices per file. Slice i must decode every page before
+# its range (no page index), so k slices cost ~k/2 full-file reads of
+# redundant CPU while wall time is floored by the LAST slice's full read
+# — past a modest k the extra parallelism only burns cores (and burst
+# credits). Measured on the 6M-row lineitem roundtrip at local[32]:
+# k=32 → 1.6-6.3 s (unstable), k=16 → 1.37-1.40 s, k=8 → 1.74-1.89 s.
+_MAX_SLICES_PER_FILE = 16
+
 
 def _file_rows(path: str) -> int:
     import pyarrow.parquet as pq
@@ -58,7 +66,9 @@ def _slice_assignments(
     5000-row table split 32 ways costs more in task/python-worker
     round-trips than the parallelism buys (measured 0.54 s → 1.03 s on
     the sf0.1 documents roundtrip before the floor)."""
-    n = n_slices or spark.sparkContext.defaultParallelism
+    n = n_slices or min(
+        spark.sparkContext.defaultParallelism, _MAX_SLICES_PER_FILE
+    )
     total = _file_rows(path)
     n = max(1, min(n, total or 1, -(-(total or 1) // max(min_rows, 1))))
     per = -(-total // n)  # ceil
