@@ -481,10 +481,15 @@ def embedding_near_dups(
             .select("band", "bucket")
         )
         banded = banded.join(keep, ["band", "bucket"], "left_semi")
+    # shuffle-hash hint on both sides (r8, same as dedup.lsh_candidate_
+    # pairs): a broadcast self-join would evaluate the signature-UDF
+    # subtree twice; shuffled sides have canonically identical exchanges,
+    # so ReuseExchange computes the signatures once — and broadcasting
+    # all banded signatures is a non-starter at corpus scale anyway.
     cand = (
-        banded.alias("x")
+        banded.alias("x").hint("shuffle_hash")
         .join(
-            banded.alias("y"),
+            banded.alias("y").hint("shuffle_hash"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x._id") < F.col("y._id")),
