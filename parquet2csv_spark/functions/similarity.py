@@ -100,18 +100,29 @@ def cosine_topk(
     def scores(embs: pd.Series) -> pd.Series:
         out = pd.Series([None] * len(embs), dtype=object)
         mask = embs.notna().to_numpy()
-        if mask.any():
-            x = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in embs[mask]]
-            )
+        if not mask.any():
+            return out
+        idx = np.flatnonzero(mask)
+        vecs = [np.asarray(v, dtype=np.float64) for v in embs.iloc[idx]]
+        lens = np.fromiter((len(v) for v in vecs), dtype=np.int64, count=len(vecs))
+        # group rows by dimension: np.stack needs uniform dims, and the
+        # expression form this replaces yields NULL cos for a pair whose
+        # dims differ (zip_with pads the shorter side with nulls) — a
+        # mixed-dim table must degrade to those nulls, not crash
+        for length in np.unique(lens):
+            sel = np.flatnonzero(lens == length)
+            x = np.stack([vecs[i] for i in sel])
             n_norm = _seq_norm_rows(x)
-            dots = [None if qv is None else _seq_dot(x, qv) for qv in q_vecs]
+            dots = [
+                None if (qv is None or len(qv) != length) else _seq_dot(x, qv)
+                for qv in q_vecs
+            ]
             vals = [
                 [float(n_norm[r])]
                 + [None if d is None else float(d[r]) for d in dots]
-                for r in range(len(x))
+                for r in range(len(sel))
             ]
-            out.iloc[np.flatnonzero(mask)] = vals
+            out.iloc[idx[sel]] = vals
         return out
 
     v = vectors.select(

@@ -125,3 +125,18 @@ def test_selector_large_blob_prefers_measured_plain_z():
     chosen = len(encode_array(arr, choice))
     fsst_sz = len(encode_array(arr, "fsst+z"))
     assert chosen <= fsst_sz * (selector._TIE_TOLERANCE + 0.05)
+
+
+def test_cosine_topk_mixed_dims_match_crossjoin(spark):
+    """A pair whose dims differ gets a NULL cos in the expression form
+    (zip_with pads the shorter side with nulls); the vectorized fast path
+    must degrade identically instead of crashing np.stack."""
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.5, 0.5, 0.1]), (2, [0.2, 0.9]),
+        (3, [0.3, 0.3, 0.3]), (4, [0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 2)
+    fast = sim.cosine_topk(df, q, k=4).collect()
+    slow = sim._cosine_topk_crossjoin(df, q, k=4).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
