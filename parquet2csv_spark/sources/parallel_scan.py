@@ -52,10 +52,16 @@ def _file_rows(path: str) -> int:
 
 def worth_it(path: str, parallelism: int) -> bool:
     """True when the file has materially fewer row groups than cores —
-    i.e. Spark's native row-group-granular scan cannot use the cluster."""
+    i.e. Spark's native row-group-granular scan cannot use the cluster.
+    Conservatively False for anything that is not a single readable
+    parquet FILE (e.g. a directory of part files — those already scan in
+    parallel and belong on the native path)."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(path).metadata.num_row_groups * 2 < parallelism
+    try:
+        return pq.ParquetFile(path).metadata.num_row_groups * 2 < parallelism
+    except Exception:
+        return False
 
 
 def _slice_assignments(

@@ -140,3 +140,11 @@ def test_cosine_topk_mixed_dims_match_crossjoin(spark):
     fast = sim.cosine_topk(df, q, k=4).collect()
     slow = sim._cosine_topk_crossjoin(df, q, k=4).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+
+def test_worth_it_false_for_directory_inputs(spark, tmp_path):
+    """A directory table (part files) must fall back to the native scan
+    path instead of crashing the footer probe."""
+    d = str(tmp_path / "t")
+    spark.range(100).write.parquet(d)
+    assert worth_it(d, 32) is False
